@@ -1,0 +1,303 @@
+"""Spark-native directed graph with node weights ("road-segment-as-node").
+
+Data model (SURVEY.md §1): the reference ``DiGraph``
+(/root/reference/src/main.cpp:343-1994) stores
+
+- nodes with exactly one built-in attribute ``length`` (default 1.0,
+  /root/reference/src/main.cpp:70-73), rounded half-up on ingest
+  (/root/reference/src/main.cpp:366-368);
+- weightless directed edges (/root/reference/src/main.cpp:75-77);
+- forward and reverse adjacency simultaneously (/root/reference/src/main.cpp:1015).
+
+Here the graph is a pair of DataFrames:
+
+- ``vertices (id BIGINT, node STRING, length DOUBLE)``
+- ``edges (src BIGINT, dst BIGINT)``
+
+Reverse adjacency is a role swap (projection — free); traversal cost
+"length of the node you relax out of" is materialized once as
+``edges_w (src, dst, weight)`` with ``weight = length(src)`` (forward) or
+``weight = length(dst-as-src)`` (reverse), so every downstream kernel is a
+plain weighted-edge relaxation.
+
+Scale notes: ``edges_w`` is hash-partitioned by ``src`` (the superstep join
+key) so every frontier-join reuses one partitioning; vertices join for the
+weight column happens once at build. Degree stats are computed here and
+drive hub-salting decisions in the kernels.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .indexer import Indexer
+from .rounding import round_half_up, round_scale
+
+VERTICES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("node", T.StringType(), False),
+        T.StructField("length", T.DoubleType(), False),
+    ]
+)
+EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+    ]
+)
+
+
+class SparkDiGraph:
+    """Immutable ("frozen") node-weighted digraph over DataFrames.
+
+    The reference's freeze/cache lifecycle (/root/reference/src/main.cpp:996-1004)
+    is the *default* here: DataFrames are immutable; "reset" is a rebuild.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        vertices: DataFrame,
+        edges: DataFrame,
+        round_n: Optional[int] = 3,
+        indexer: Optional[Indexer] = None,
+        num_partitions: Optional[int] = None,
+    ):
+        self.spark = spark
+        self.round_n = round_n
+        self.scale = round_scale(round_n)
+        self.indexer = indexer
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        self.vertices = vertices
+        self.edges = edges
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def from_lists(
+        cls,
+        spark: SparkSession,
+        nodes: Sequence[tuple[str, float]] = (),
+        edges: Sequence[tuple[str, str]] = (),
+        round_n: Optional[int] = 3,
+    ) -> "SparkDiGraph":
+        """Build from explicit (node, length) / (src, dst) lists with the
+        exact reference add_node/add_edge semantics:
+
+        - lengths rounded half-up at ingest (/root/reference/src/main.cpp:366-368);
+        - add_edge auto-creates missing endpoints with length 1.0
+          (/root/reference/src/main.cpp:375-389);
+        - ids assigned by the order-dependent Indexer rule.
+        """
+        idx = Indexer()
+        scale = round_scale(round_n)
+        lengths: dict[int, float] = {}
+        for name, length in nodes:
+            i = idx.id(name)
+            lengths[i] = round_half_up(float(length), scale)
+        edge_ids: list[tuple[int, int]] = []
+        seen = set()
+        for a, b in edges:
+            ia, ib = idx.id(a), idx.id(b)
+            lengths.setdefault(ia, 1.0)
+            lengths.setdefault(ib, 1.0)
+            if (ia, ib) not in seen:
+                seen.add((ia, ib))
+                edge_ids.append((ia, ib))
+        inv = {v: k for k, v in idx.index().items()}
+        vrows = [(i, inv[i], float(l)) for i, l in lengths.items()]
+        vdf = spark.createDataFrame(vrows, VERTICES_SCHEMA)
+        edf = spark.createDataFrame(edge_ids or [], EDGES_SCHEMA)
+        return cls(spark, vdf, edf, round_n=round_n, indexer=idx)
+
+    @classmethod
+    def from_edge_df(
+        cls,
+        spark: SparkSession,
+        edges: DataFrame,
+        vertices: Optional[DataFrame] = None,
+        round_n: Optional[int] = 3,
+        default_length: float = 1.0,
+    ) -> "SparkDiGraph":
+        """Build from an integer edge DataFrame ``(src, dst)``; vertices not
+        listed get ``default_length`` (auto-create semantics of add_edge)."""
+        edges = edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        ).distinct()
+        endpoint_ids = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct()
+        if vertices is None:
+            vdf = endpoint_ids.select(
+                "id",
+                F.col("id").cast("string").alias("node"),
+                F.lit(float(default_length)).alias("length"),
+            )
+        else:
+            vdf = endpoint_ids.join(vertices, "id", "left").select(
+                "id",
+                F.coalesce(F.col("node"), F.col("id").cast("string")).alias("node"),
+                F.coalesce(F.col("length"), F.lit(float(default_length)))
+                .cast("double")
+                .alias("length"),
+            )
+            extra = vertices.join(endpoint_ids, "id", "left_anti").select(
+                "id", "node", F.col("length").cast("double")
+            )
+            vdf = vdf.unionByName(extra)
+        return cls(spark, vdf, edges, round_n=round_n)
+
+    # ------------------------------------------------------------ accessors
+    @cached_property
+    def ids(self) -> DataFrame:
+        """Dictionary DF (node STRING, id BIGINT)."""
+        return self.vertices.select("node", "id")
+
+    @cached_property
+    def lengths_map(self) -> dict[int, float]:
+        """Driver-side id->length map — ONLY for fixture-scale graphs
+        (path decoration of collected results). Guarded by size."""
+        n = self.vertices.count()
+        if n > 2_000_000:
+            raise RuntimeError(
+                "lengths_map is a fixture-scale convenience; "
+                f"graph has {n} vertices — use DataFrame joins instead"
+            )
+        return {r["id"]: r["length"] for r in self.vertices.collect()}
+
+    @cached_property
+    def names_map(self) -> dict[int, str]:
+        n = self.vertices.count()
+        if n > 2_000_000:
+            raise RuntimeError("names_map is fixture-scale only")
+        return {r["id"]: r["node"] for r in self.vertices.collect()}
+
+    @cached_property
+    def edges_w(self) -> DataFrame:
+        """Forward traversal edges ``(src, dst, weight=length(src))``,
+        hash-partitioned by src (the frontier-join key) and persisted."""
+        ew = (
+            self.edges.join(
+                self.vertices.select(F.col("id").alias("src"), F.col("length").alias("weight")),
+                "src",
+            )
+            .select("src", "dst", "weight")
+            .repartition(self.num_partitions, "src")
+        )
+        ew = ew.persist()
+        ew.count()
+        return ew
+
+    @cached_property
+    def edges_w_rev(self) -> DataFrame:
+        """Reverse traversal edges: role-swapped, ``weight = length`` of the
+        node being relaxed out of in the *reverse* walk (the original dst)."""
+        ew = (
+            self.edges.join(
+                self.vertices.select(F.col("id").alias("dst"), F.col("length").alias("weight")),
+                "dst",
+            )
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+            .repartition(self.num_partitions, "src")
+        )
+        ew = ew.persist()
+        ew.count()
+        return ew
+
+    def unpersist(self):
+        for attr in ("edges_w", "edges_w_rev"):
+            if attr in self.__dict__:
+                self.__dict__[attr].unpersist()
+                del self.__dict__[attr]
+
+    # -------------------------------------------------- name/id translation
+    def node_id(self, name: str) -> Optional[int]:
+        if self.indexer is not None:
+            return self.indexer.get_id(name)
+        row = self.ids.filter(F.col("node") == name).head(1)
+        return row[0]["id"] if row else None
+
+    def node_ids(self, names: Iterable[str]) -> dict[str, Optional[int]]:
+        if self.indexer is not None:
+            return {n: self.indexer.get_id(n) for n in names}
+        names = list(names)
+        rows = self.ids.filter(F.col("node").isin(names)).collect()
+        got = {r["node"]: r["id"] for r in rows}
+        return {n: got.get(n) for n in names}
+
+    # -------------------------------------------------------- neighborhoods
+    def successors_df(self, ids: Optional[Sequence[int]] = None) -> DataFrame:
+        e = self.edges
+        if ids is not None:
+            e = e.filter(F.col("src").isin(list(ids)))
+        return e.select("src", "dst")
+
+    def predecessors_df(self, ids: Optional[Sequence[int]] = None) -> DataFrame:
+        e = self.edges
+        if ids is not None:
+            e = e.filter(F.col("dst").isin(list(ids)))
+        return e.select("src", "dst")
+
+    def successors(self, name: str) -> list[str]:
+        """str -> [str], reference parity (/root/reference/src/main.cpp:432-435)."""
+        i = self.node_id(name)
+        if i is None:
+            return []
+        nm = self.names_map
+        rows = self.edges.filter(F.col("src") == i).select("dst").collect()
+        return sorted(nm[r["dst"]] for r in rows)
+
+    def predecessors(self, name: str) -> list[str]:
+        i = self.node_id(name)
+        if i is None:
+            return []
+        nm = self.names_map
+        rows = self.edges.filter(F.col("dst") == i).select("src").collect()
+        return sorted(nm[r["src"]] for r in rows)
+
+    @cached_property
+    def sibs_under_next(self) -> DataFrame:
+        """(a, b): a and b share a common successor — wedge self-join
+        (/root/reference/src/main.cpp:1041-1053). Includes the zero-cost
+        sibling transfers consumed by zigzag routing. Excludes a==b."""
+        e1 = self.edges.select(F.col("src").alias("a"), "dst")
+        e2 = self.edges.select(F.col("src").alias("b"), "dst")
+        return (
+            e1.join(e2, "dst")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+
+    @cached_property
+    def sibs_under_prev(self) -> DataFrame:
+        """(a, b): a and b share a common predecessor
+        (/root/reference/src/main.cpp:1054-1066)."""
+        e1 = self.edges.select("src", F.col("dst").alias("a"))
+        e2 = self.edges.select("src", F.col("dst").alias("b"))
+        return (
+            e1.join(e2, "src")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+
+    # ------------------------------------------------------------ stats
+    @cached_property
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("out_degree")
+        )
+
+    @cached_property
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("in_degree")
+        )

@@ -1,0 +1,502 @@
+"""Bounded multi-source shortest-path kernel + the reference query surface.
+
+The reference kernel is a sequential Fibonacci-heap Dijkstra
+(/root/reference/src/main.cpp:1101-1165). Heap ordering is a sequential
+optimization only — a label-correcting (Bellman-Ford-style) frontier
+iteration converges to the *identical* distance map, so the Spark-native
+kernel is a superstep loop of
+
+    frontier ⋈ edges_w  →  min-merge into state  →  new frontier
+
+over a state DataFrame ``(qid, node, dist, prev, prev_dist)``. ``qid``
+makes the kernel *multi-query from the start*: a batch of point/SSSP
+queries (or the UBODT build, which seeds every vertex) advances in one
+Spark job instead of |Q| sequential Dijkstras — this is where the Spark
+design beats the reference's (stubbed) parallelism
+(/root/reference/src/main.cpp:990-994).
+
+Exact-match semantics replicated:
+
+- cost model: relaxing out of ``u`` adds ``length(u)`` — interior nodes
+  only; successors of the start are seeded at ``init_offset``
+  (/root/reference/src/main.cpp:1118-1126, :1141-1143);
+- cutoff: new nodes only admitted when ``dist <= cutoff``
+  (/root/reference/src/main.cpp:1156); *seeds are exempt* (inserted
+  unconditionally, /root/reference/src/main.cpp:1186-1190);
+- sinks: you may arrive at a sink but never relax out of it
+  (/root/reference/src/main.cpp:1120, :1134-1135);
+- tie-break: Dijkstra keeps the first setter under heap order
+  (value-then-index, /root/reference/src/heap.hpp:551-561), i.e. the
+  predecessor minimizing ``(dist(prev), prev)`` among minimal-dist ones.
+  We reproduce it deterministically with a lexicographic min over the
+  struct ``(dist, prev_dist, prev)``; seeds carry ``prev_dist = -inf`` so
+  they win ties like Dijkstra's pre-loop insertion.
+
+Scale notes: state and frontier are hash-partitioned on the join key;
+``edges_w`` is pre-partitioned by ``src`` (graph build) so the per-superstep
+join reuses its exchange; every superstep ``localCheckpoint``s to truncate
+lineage; queries/sinks are broadcast (they are small per-batch dimension
+tables). Skewed hub vertices are handled by AQE skew-join splitting
+(enabled in session.py) — the min-merge aggregation is already map-side
+partial.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..graph import SparkDiGraph
+from ..rounding import clip, round_half_up
+
+NEG_INF = float("-inf")
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType(), False),
+        T.StructField("node", T.LongType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+        T.StructField("prev", T.LongType(), False),
+        T.StructField("prev_dist", T.DoubleType(), False),
+    ]
+)
+
+
+def bounded_sssp(
+    spark: SparkSession,
+    edges_w: DataFrame,
+    seeds: DataFrame,
+    cutoffs: DataFrame,
+    sinks: Optional[DataFrame] = None,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Run the label-correcting relaxation to fixpoint.
+
+    Parameters
+    ----------
+    edges_w : (src, dst, weight) — weight = length of the node relaxed out of
+    seeds   : (qid, node, dist, prev, prev_dist) — cutoff-exempt
+    cutoffs : (qid, cutoff) — admission bound per query (broadcast)
+    sinks   : (qid, node) or None — arrive-only barrier nodes (broadcast)
+
+    Returns the converged state (qid, node, dist, prev, prev_dist).
+    """
+    state = seeds.localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(max_iter):
+        f = frontier
+        if sinks is not None:
+            f = f.join(F.broadcast(sinks), ["qid", "node"], "left_anti")
+        fsel = f.select("qid", "node", "dist")
+        msgs = (
+            fsel.join(edges_w, fsel["node"] == edges_w["src"])
+            .select(
+                fsel["qid"],
+                edges_w["dst"].alias("node"),
+                (fsel["dist"] + edges_w["weight"]).alias("dist"),
+                edges_w["src"].alias("prev"),
+                fsel["dist"].alias("prev_dist"),
+            )
+            .join(F.broadcast(cutoffs), "qid")
+            .filter(F.col("dist") <= F.col("cutoff"))
+            .drop("cutoff")
+        )
+        best = (
+            msgs.groupBy("qid", "node")
+            .agg(F.min(F.struct("dist", "prev_dist", "prev")).alias("m"))
+            .select("qid", "node", "m.dist", "m.prev_dist", "m.prev")
+        )
+        old = state.select(
+            "qid", "node", F.struct("dist", "prev_dist", "prev").alias("_old")
+        )
+        improved = (
+            best.join(old, ["qid", "node"], "left")
+            .filter(
+                F.col("_old").isNull()
+                | (F.struct("dist", "prev_dist", "prev") < F.col("_old"))
+            )
+            .select("qid", "node", "dist", "prev", "prev_dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.join(improved.select("qid", "node"), ["qid", "node"], "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return state
+
+
+def backtrace(
+    state: DataFrame,
+    ends: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Reconstruct node chains by walking the predecessor map.
+
+    state   : (qid, node, prev, ...) — converged SSSP state
+    ends    : (qid, node) — nodes to trace back from
+    sources : (qid, start) — per-query termination node
+
+    Returns (qid, node, chain ARRAY<BIGINT>) where chain = [end, ..., start]
+    (prev-order; callers reverse for forward paths). Iterative join — the
+    loop count is the longest chain, bounded by the cutoff.
+    """
+    pmap = state.select("qid", F.col("node").alias("_pn"), F.col("prev").alias("_pp"))
+    cur = (
+        ends.join(F.broadcast(sources), "qid")
+        .select(
+            "qid",
+            "node",
+            F.array("node").alias("chain"),
+            F.col("node").alias("head"),
+            "start",
+        )
+        .withColumn("done", F.col("head") == F.col("start"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        todo = cur.filter(~F.col("done"))
+        if todo.isEmpty():
+            break
+        done_rows = cur.filter(F.col("done"))
+        stepped = (
+            todo.join(
+                pmap,
+                (todo["qid"] == pmap["qid"]) & (todo["head"] == pmap["_pn"]),
+                "left",
+            )
+            .select(
+                todo["qid"],
+                todo["node"],
+                F.when(
+                    pmap["_pp"].isNotNull(),
+                    F.concat(todo["chain"], F.array(pmap["_pp"])),
+                )
+                .otherwise(todo["chain"])
+                .alias("chain"),
+                F.coalesce(pmap["_pp"], todo["head"]).alias("head"),
+                todo["start"],
+                pmap["_pp"].isNull().alias("_miss"),
+            )
+            .withColumn(
+                "done",
+                F.col("_miss") | (F.col("head") == F.col("start")),
+            )
+            .drop("_miss")
+        )
+        cur = done_rows.unionByName(stepped).localCheckpoint(eager=True)
+    return cur.select("qid", "node", "chain")
+
+
+# --------------------------------------------------------------------------
+# Reference query surface (single-query convenience over the batch kernel)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class PathResult:
+    """Mirror of the reference ``Path`` (/root/reference/src/main.cpp:181-209)."""
+
+    dist: float
+    nodes: list[str]
+    start_offset: Optional[float] = None
+    end_offset: Optional[float] = None
+    binding: Optional[tuple] = None
+    directions: Optional[list[int]] = None  # zigzag only
+
+    def to_dict(self) -> dict:
+        d = {
+            "dist": self.dist,
+            "nodes": list(self.nodes),
+            "start": (self.nodes[0], self.start_offset),
+            "end": (self.nodes[-1], self.end_offset),
+        }
+        if self.binding is not None:
+            d["binding"] = self.binding
+        if self.directions is not None:
+            d["directions"] = list(self.directions)
+        return d
+
+    def round(self, scale: Optional[float]) -> "PathResult":
+        if scale is not None:
+            self.dist = round_half_up(self.dist, scale)
+            if self.start_offset is not None:
+                self.start_offset = round_half_up(self.start_offset, scale)
+            if self.end_offset is not None:
+                self.end_offset = round_half_up(self.end_offset, scale)
+        return self
+
+
+@dataclass
+class ShortestPathGen:
+    """Spark-side mirror of ``ShortestPathGenerator``
+    (/root/reference/src/main.cpp:2843-3061): the converged SSSP state is
+    the generator's (prevs, dists) 'IR'; destinations/paths/path are cheap
+    derived queries over it."""
+
+    graph: SparkDiGraph
+    state: Optional[DataFrame]  # converged (qid=0) state; None if not ready
+    cutoff: float = 0.0
+    source: Optional[tuple[str, Optional[float]]] = None  # (node, raw offset)
+    target: Optional[tuple[str, Optional[float]]] = None
+    start_id: Optional[int] = None
+    _rows: Optional[list] = field(default=None, repr=False)
+
+    def _collect(self):
+        if self._rows is None:
+            self._rows = [] if self.state is None else self.state.collect()
+        return self._rows
+
+    def dists_df(self) -> DataFrame:
+        """(node BIGINT, dist DOUBLE) excluding the start (the reference
+        erases it, /root/reference/src/main.cpp:1164)."""
+        if self.state is None:
+            return self.graph.spark.createDataFrame(
+                [], "node long, dist double"
+            )
+        return self.state.filter(F.col("node") != self.start_id).select("node", "dist")
+
+    def prevs_df(self) -> DataFrame:
+        if self.state is None:
+            return self.graph.spark.createDataFrame([], "node long, prev long")
+        return self.state.select("node", "prev")
+
+    def dists(self) -> dict[str, float]:
+        nm = self.graph.names_map
+        return {
+            nm[r["node"]]: r["dist"]
+            for r in self._collect()
+            if r["node"] != self.start_id
+        }
+
+    def prevs(self) -> dict[str, str]:
+        nm = self.graph.names_map
+        return {nm[r["node"]]: nm[r["prev"]] for r in self._collect()}
+
+    def destinations(self) -> list[tuple[float, str]]:
+        """Sorted (dist, node) — tuple sort, so ties break on the node
+        string (/root/reference/src/main.cpp:2912-2928). No rounding (the
+        reference returns raw dmap values here)."""
+        return sorted((d, n) for n, d in self.dists().items())
+
+    def _single_node_path(self) -> list[PathResult]:
+        """Empty-prevs special case (/root/reference/src/main.cpp:2938-2976)."""
+        scale = self.graph.scale
+        if self.source is not None and self.source[1] is not None:
+            node, off = self.source
+            length = self.graph.lengths_map[self.start_id]
+            so = clip(0.0, off, length)
+            eo = clip(0.0, so + self.cutoff, length)
+            if so < eo:
+                return [PathResult(eo - so, [node], so, eo).round(scale)]
+        elif self.target is not None and self.target[1] is not None:
+            node, off = self.target
+            length = self.graph.lengths_map[self.start_id]
+            eo = clip(0.0, off, length)
+            so = clip(0.0, eo - self.cutoff, length)
+            if so < eo:
+                return [PathResult(eo - so, [node], so, eo).round(scale)]
+        return []
+
+    def _decorate(self, end_id: int, chain_ids: list[int]) -> PathResult:
+        """Shared path decoration (/root/reference/src/main.cpp:2989-3012)."""
+        lm, nm = self.graph.lengths_map, self.graph.names_map
+        rows = {r["node"]: r for r in self._collect()}
+        dist = rows[end_id]["dist"]
+        length = lm[end_id]
+        p_dist = min(self.cutoff, dist + length)
+        if self.source is not None:
+            nodes = list(reversed(chain_ids))
+            so = self.source[1]
+            eo = clip(0.0, self.cutoff - dist, length)
+        else:
+            nodes = chain_ids  # [end .. target], forward order toward target
+            so = clip(0.0, length - (self.cutoff - dist), length)
+            eo = self.target[1]
+        return PathResult(
+            p_dist, [nm[i] for i in nodes], so, eo
+        ).round(self.graph.scale)
+
+    def paths(self) -> list[PathResult]:
+        """All leaf paths, each extended to the cutoff
+        (/root/reference/src/main.cpp:2930-3018). Sorted by dist
+        descending; ties canonicalized by node list (the reference's tie
+        order is unordered_set iteration order — unspecified)."""
+        rows = self._collect()
+        if not rows:
+            return self._single_node_path()
+        prev_of = {r["node"]: r["prev"] for r in rows}
+        non_leaves = set(prev_of.values())
+        ends = [n for n in prev_of if n not in non_leaves]
+        out = []
+        for end in ends:
+            chain = [end]
+            cur = end
+            while cur != self.start_id:
+                cur = prev_of[cur]
+                chain.append(cur)
+            out.append(self._decorate(end, chain))
+        out.sort(key=lambda p: (-p.dist, p.nodes))
+        return out
+
+    def path(self, node: str) -> Optional[PathResult]:
+        """Single backtrace (/root/reference/src/main.cpp:3022-3060)."""
+        nid = self.graph.node_id(node)
+        rows = self._collect()
+        prev_of = {r["node"]: r["prev"] for r in rows}
+        if nid is None or nid not in prev_of:
+            return None
+        chain = [nid]
+        cur = nid
+        while cur != self.start_id:
+            cur = prev_of[cur]
+            chain.append(cur)
+        return self._decorate(nid, chain)
+
+
+def _encode_sinks_df(
+    graph: SparkDiGraph, sinks: Optional[Sequence[str]], qid: int = 0
+) -> Optional[DataFrame]:
+    if not sinks:
+        return None
+    ids = [graph.node_id(s) for s in sinks]
+    rows = [(qid, i) for i in ids if i is not None]
+    return graph.spark.createDataFrame(rows or [], "qid long, node long")
+
+
+def shortest_paths(
+    graph: SparkDiGraph,
+    start: str,
+    cutoff: float,
+    offset: Optional[float] = None,
+    reverse: bool = False,
+    sinks: Optional[Sequence[str]] = None,
+) -> ShortestPathGen:
+    """SSSP-tree generator — ``shortest_paths_from``/``_to``
+    (/root/reference/src/main.cpp:655-693)."""
+    gen = ShortestPathGen(
+        graph,
+        None,
+        cutoff=cutoff,
+        source=None if reverse else (start, offset),
+        target=(start, offset) if reverse else None,
+    )
+    if cutoff < 0:
+        return ShortestPathGen(graph, None)  # not ready at all
+    sid = graph.node_id(start)
+    if sid is None or sid not in graph.lengths_map:
+        return ShortestPathGen(graph, None)
+    gen.start_id = sid
+    length = graph.lengths_map[sid]
+    init_offset = 0.0
+    if offset is not None:
+        o = clip(0.0, offset, length)
+        init_offset = o if reverse else length - o
+    if cutoff < init_offset:
+        return gen  # kernel skipped (/root/reference/src/main.cpp:1111-1113)
+    edges_w = graph.edges_w_rev if reverse else graph.edges_w
+    sink_ids = {graph.node_id(s) for s in sinks} if sinks else set()
+    if sid in sink_ids:
+        return gen  # start is a sink: no seeds (/root/reference/src/main.cpp:1120)
+    seeds_rows = [
+        (0, r["dst"], init_offset, sid, NEG_INF)
+        for r in edges_w.filter(F.col("src") == sid).select("dst").collect()
+    ]
+    if not seeds_rows:
+        return gen  # no successors (/root/reference/src/main.cpp:1114-1117)
+    spark = graph.spark
+    seeds = spark.createDataFrame(seeds_rows, STATE_SCHEMA)
+    cutoffs = spark.createDataFrame([(0, float(cutoff))], "qid long, cutoff double")
+    sinks_df = _encode_sinks_df(graph, sinks)
+    state = bounded_sssp(spark, edges_w, seeds, cutoffs, sinks_df)
+    gen.state = state.drop("qid")
+    return gen
+
+
+def shortest_path(
+    graph: SparkDiGraph,
+    source: str,
+    target: str,
+    cutoff: float,
+    source_offset: Optional[float] = None,
+    target_offset: Optional[float] = None,
+    sinks: Optional[Sequence[str]] = None,
+) -> Optional[PathResult]:
+    """Point-to-point shortest path (/root/reference/src/main.cpp:547-620).
+
+    Offsets fold into a ``delta`` added after the kernel (source
+    contributes ``length(source) - source_offset``, target contributes
+    ``target_offset``, /root/reference/src/main.cpp:599-611). Same-node
+    special cases per /root/reference/src/main.cpp:585-597.
+    """
+    if cutoff < 0:
+        return None
+    sid, tid = graph.node_id(source), graph.node_id(target)
+    if sid is None or tid is None:
+        return None
+    lm = graph.lengths_map
+    if sid not in lm or tid not in lm:
+        return None
+    nm = graph.names_map
+    if source_offset is not None:
+        source_offset = clip(0.0, source_offset, lm[sid])
+    if target_offset is not None:
+        target_offset = clip(0.0, target_offset, lm[tid])
+    scale = graph.scale
+    if sid == tid:
+        if source_offset is None and target_offset is None:
+            return PathResult(0.0, [nm[sid]]).round(scale)
+        if source_offset is not None and target_offset is not None:
+            dist = target_offset - source_offset
+            if dist < 0 or dist > cutoff:
+                return None
+            return PathResult(
+                dist, [nm[sid]], source_offset, target_offset
+            ).round(scale)
+        return None
+    delta = 0.0
+    if source_offset is not None:
+        delta += lm[sid] - source_offset
+    if target_offset is not None:
+        delta += target_offset
+    inner_cutoff = cutoff - delta
+    sink_ids = {graph.node_id(s) for s in sinks} if sinks else set()
+    if sid in sink_ids:
+        return None  # (/root/reference/src/main.cpp:1175-1177)
+    # seeds = successors of source, dist 0, cutoff-EXEMPT
+    seeds_rows = [
+        (0, r["dst"], 0.0, sid, NEG_INF)
+        for r in graph.edges_w.filter(F.col("src") == sid).select("dst").collect()
+    ]
+    if not seeds_rows:
+        return None
+    spark = graph.spark
+    seeds = spark.createDataFrame(seeds_rows, STATE_SCHEMA)
+    cutoffs = spark.createDataFrame(
+        [(0, float(inner_cutoff))], "qid long, cutoff double"
+    )
+    sinks_df = _encode_sinks_df(graph, sinks)
+    state = bounded_sssp(spark, graph.edges_w, seeds, cutoffs, sinks_df)
+    rows = {r["node"]: r for r in state.collect()}
+    if tid not in rows:
+        return None
+    # backtrace driver-side (single path)
+    prev_of = {n: r["prev"] for n, r in rows.items()}
+    chain = [tid]
+    cur = tid
+    while cur != sid:
+        cur = prev_of[cur]
+        chain.append(cur)
+    nodes = [nm[i] for i in reversed(chain)]
+    return PathResult(
+        rows[tid]["dist"] + delta, nodes, source_offset, target_offset
+    ).round(scale)

