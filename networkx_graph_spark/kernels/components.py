@@ -1,0 +1,192 @@
+"""Connected components: hash-min propagation and large-star/small-star.
+
+Canonical kernel (north rule, BASELINE.json:14). Component label = the
+minimum vertex id in the (weakly) connected component — identical for both
+algorithms, so they cross-check each other.
+
+- ``hash-min``: classic label propagation — each round every vertex takes
+  the min label among itself and its (undirected) neighbors. O(diameter)
+  rounds; each round one join + one map-side-partial min aggregation.
+- ``two-phase``: alternating large-star/small-star rewrites (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  O(log n) rounds on high-diameter graphs; the edge set itself is the
+  state and converges to stars rooted at component minima.
+
+Scale: both are pure join+groupBy supersteps over (id-keyed) state, AQE
+skew handling on; state checkpoints per superstep via SuperstepRunner.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.supersteps import SuperstepRunner, SuperstepResult
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Undirected view: both directions, self-loops dropped."""
+    return (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    algorithm: str = "hashmin",
+    max_iter: int = 200,
+    runner: Optional[SuperstepRunner] = None,
+    name: str = "components",
+    resume: bool = False,
+    num_partitions: Optional[int] = None,
+) -> SuperstepResult:
+    """edges (src, dst) -> state (id, component), component = min id reachable."""
+    if algorithm == "hashmin":
+        return _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions)
+    if algorithm == "twophase":
+        return _cc_twophase(edges, max_iter, runner, name, resume, num_partitions)
+    raise ValueError(f"unknown algorithm: {algorithm}")
+
+
+def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    runner = runner or SuperstepRunner(spark)
+    sym = _sym(edges).repartition(num_partitions, "src").persist()
+    sym.count()
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    isolated = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(vertices, "id", "left_anti")
+    )
+    init = vertices.select("id", F.col("id").alias("component")).repartition(
+        num_partitions, "id"
+    )
+
+    def step(state: DataFrame, i: int):
+        nbr_min = (
+            state.join(sym, state["id"] == sym["src"])
+            .select(sym["dst"].alias("id"), state["component"].alias("c"))
+            .groupBy("id")
+            .agg(F.min("c").alias("nbr_min"))
+        )
+        new_state = (
+            state.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        return new_state, {"changed": changed, "_checkpointed": True}
+
+    result = runner.run(
+        name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume
+    )
+    sym.unpersist()
+    # self-components for isolated vertices (self-loop-only or none)
+    result.state = result.state.unionByName(
+        isolated.select("id", F.col("id").alias("component"))
+    )
+    return result
+
+
+def _cc_twophase(edges, max_iter, runner, name, resume, num_partitions):
+    """Alternating large-star / small-star (Kiveris et al. SoCC'14).
+
+    State = the edge set as parent links (u, v); converges when one
+    round of large-star + small-star changes nothing; final state maps
+    every vertex to the component minimum.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    runner = runner or SuperstepRunner(spark)
+    all_vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    all_vertices.count()
+    init = (
+        _sym(edges)
+        .filter(F.col("src") < F.col("dst"))  # one canonical record per pair
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .repartition(num_partitions, "u")
+    )
+
+    def _nbrs(state: DataFrame) -> DataFrame:
+        return state.select("u", "v").unionByName(
+            state.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def large_star(state: DataFrame) -> DataFrame:
+        # for each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
+        nbrs = _nbrs(state)
+        m = nbrs.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(num_partitions, "u")
+        )
+
+    def small_star(state: DataFrame) -> DataFrame:
+        # for each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v < u and (u, m)
+        nbrs = _nbrs(state)
+        m = nbrs.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+        j = nbrs.join(m, "u")
+        out = j.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(m.select("u", F.col("m").alias("v")))
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(num_partitions, "u")
+        )
+
+    def step(state: DataFrame, i: int):
+        new_state = small_star(large_star(state)).localCheckpoint(eager=True)
+        changed = (
+            new_state.join(state, ["u", "v"], "left_anti").count()
+            + state.join(new_state, ["u", "v"], "left_anti").count()
+        )
+        return new_state, {"changed": changed, "_checkpointed": True}
+
+    result = runner.run(
+        name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume
+    )
+    # converged state is a forest of depth-1 stars rooted at component
+    # minima: one min-aggregation reads the root off for every member
+    links = (
+        _nbrs(result.state)
+        .groupBy("u")
+        .agg(F.min(F.least("v", "u")).alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    )
+    result.state = all_vertices.join(links, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+    all_vertices.unpersist()
+    return result

@@ -1,0 +1,86 @@
+"""Synchronous label propagation (community detection).
+
+Canonical kernel (north rule, BASELINE.json:14). Standard synchronous LPA
+(Raghavan et al. 2007) with a deterministic tie-break: each round every
+vertex adopts the label that is most frequent among its (undirected)
+neighbors; ties break to the smallest label. Deterministic under any
+parallelism — required for the local[8] vs local[32] identical-results
+gate.
+
+Each superstep is: join labels to symmetric edges → count (dst, label)
+pairs (map-side partial) → window row_number ordered (count desc, label
+asc) → pick rank 1. Convergence = zero label changes (capped: synchronous
+LPA can oscillate on bipartite structures, so ``max_iter`` is a hard stop
+and the iteration count is reported in metrics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..plans.supersteps import SuperstepRunner, SuperstepResult
+from .components import _sym
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 20,
+    runner: Optional[SuperstepRunner] = None,
+    name: str = "lpa",
+    resume: bool = False,
+    num_partitions: Optional[int] = None,
+) -> SuperstepResult:
+    """edges (src, dst) -> state (id, label)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    runner = runner or SuperstepRunner(spark)
+    sym = _sym(edges).repartition(num_partitions, "src").persist()
+    sym.count()
+    all_vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    all_vertices.count()
+    init = all_vertices.select("id", F.col("id").alias("label")).repartition(
+        num_partitions, "id"
+    )
+
+    def step(state: DataFrame, i: int):
+        votes = (
+            state.join(sym, state["id"] == sym["src"])
+            .select(sym["dst"].alias("id"), state["label"].alias("l"))
+            .groupBy("id", "l")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("l").asc())
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("l").alias("new_label"))
+        )
+        new_state = (
+            state.join(winner, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        return new_state, {"changed": changed, "_checkpointed": True}
+
+    result = runner.run(
+        name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume
+    )
+    sym.unpersist()
+    all_vertices.unpersist()
+    return result

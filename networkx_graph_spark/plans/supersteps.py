@@ -1,0 +1,148 @@
+"""Generic superstep runtime: iteration + lineage control + checkpoint/resume.
+
+Every iterative kernel (PageRank, CC, LPA, SSSP at scale) is a driver-side
+loop over DataFrame jobs. Two things make that safe at 100 TB:
+
+1. **Lineage truncation** — without it the logical plan doubles per
+   iteration and the driver dies on plan analysis long before executors
+   struggle. Default is ``localCheckpoint(eager=True)`` (cluster-reliable
+   alternative: parquet checkpoints, below).
+2. **Durable checkpoint/resume** (north rule, BASELINE.json:14): with a
+   ``checkpoint_dir``, every k-th superstep writes the state DataFrame to
+   ``{dir}/{name}/iter=NNNNN`` (parquet, partitioned the same way it will
+   be re-read) and appends a metrics line to ``{dir}/{name}/metrics.jsonl``
+   (iteration, wall-clock, convergence metric, row count, lineage of which
+   checkpoint it resumed from). ``resume()`` finds the newest complete
+   checkpoint (``_SUCCESS`` marker) and restarts the loop mid-iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    iterations: int
+    converged: bool
+    metrics: list[dict]
+
+
+class SuperstepRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1,
+    ):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+
+    # ------------------------------------------------------------ plumbing
+    def _job_dir(self, name: str) -> str:
+        return os.path.join(self.checkpoint_dir, name)
+
+    def _iter_dir(self, name: str, i: int) -> str:
+        return os.path.join(self._job_dir(name), f"iter={i:05d}")
+
+    def _append_metrics(self, name: str, rec: dict) -> None:
+        if self.checkpoint_dir is None:
+            return
+        os.makedirs(self._job_dir(name), exist_ok=True)
+        with open(os.path.join(self._job_dir(name), "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def latest_checkpoint(self, name: str) -> Optional[int]:
+        if self.checkpoint_dir is None:
+            return None
+        d = self._job_dir(name)
+        if not os.path.isdir(d):
+            return None
+        done = []
+        for entry in os.listdir(d):
+            if entry.startswith("iter=") and os.path.exists(
+                os.path.join(d, entry, "_SUCCESS")
+            ):
+                done.append(int(entry.split("=")[1]))
+        return max(done) if done else None
+
+    def resume(self, name: str) -> Optional[tuple[DataFrame, int]]:
+        """(state, next_iteration) from the newest durable checkpoint."""
+        i = self.latest_checkpoint(name)
+        if i is None:
+            return None
+        return self.spark.read.parquet(self._iter_dir(name, i)), i + 1
+
+    def _persist(
+        self, state: DataFrame, name: str, i: int, pre_checkpointed: bool = False
+    ) -> DataFrame:
+        if self.checkpoint_dir is not None and i % self.checkpoint_every == 0:
+            path = self._iter_dir(name, i)
+            state.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        if pre_checkpointed:
+            # step_fn already localCheckpoint'ed (it needed an action, e.g.
+            # a convergence agg) — avoid a second copy of the state
+            return state
+        return state.localCheckpoint(eager=True)
+
+    # ---------------------------------------------------------------- loop
+    def run(
+        self,
+        name: str,
+        state: DataFrame,
+        step_fn: Callable[[DataFrame, int], tuple[DataFrame, dict]],
+        max_iter: int = 100,
+        converged_key: Optional[str] = None,
+        tol: float = 0.0,
+        resume: bool = False,
+    ) -> SuperstepResult:
+        """Iterate ``step_fn(state, i) -> (new_state, metrics)`` until
+        ``metrics[converged_key] <= tol`` or ``max_iter``.
+
+        ``step_fn`` must return fully-computed metrics (it may run
+        actions); the runtime handles checkpointing, metrics logging and
+        the resume protocol.
+        """
+        start_iter = 0
+        if resume:
+            got = self.resume(name)
+            if got is not None:
+                state, start_iter = got
+        if start_iter == 0:
+            state = state.localCheckpoint(eager=True)
+        all_metrics: list[dict] = []
+        converged = False
+        i = start_iter
+        for i in range(start_iter, max_iter):
+            t0 = time.time()
+            new_state, metrics = step_fn(state, i)
+            pre_ck = bool(metrics.pop("_checkpointed", False))
+            new_state = self._persist(new_state, name, i, pre_checkpointed=pre_ck)
+            dt = time.time() - t0
+            rec = {
+                "name": name,
+                "iteration": i,
+                "wall_sec": round(dt, 4),
+                "resumed_from": start_iter - 1 if resume and start_iter else None,
+                **metrics,
+            }
+            self._append_metrics(name, rec)
+            all_metrics.append(rec)
+            state = new_state
+            if converged_key is not None and metrics.get(converged_key) is not None:
+                if metrics[converged_key] <= tol:
+                    converged = True
+                    i += 1
+                    break
+        else:
+            i = max_iter
+        return SuperstepResult(state, i, converged, all_metrics)

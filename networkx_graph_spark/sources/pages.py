@@ -1,0 +1,177 @@
+"""Common-Crawl-style pages → link-graph edge table (north rule ingest).
+
+Input shape (BASELINE.json:15): ``pages(url STRING, warc_ts TIMESTAMP,
+html BINARY, text STRING, lang STRING)`` — an Iceberg table at design
+scale; parquet stands in here (the reader path takes any DataFrame, so
+``spark.read.table`` vs ``.parquet`` is the caller's choice).
+
+Pipeline (all Arrow-vectorized — no per-row Python UDFs, BASELINE.json:15):
+
+    pages --mapInPandas--> (url, text, links ARRAY<STRING>)
+          --explode + normalize + self-join corpus--> edges(src_url, dst_url)
+          --build_ids dictionary--> edges(src BIGINT, dst BIGINT)
+
+The extraction spec is deterministic and self-contained (stdlib only):
+
+1. decode UTF-8 (errors='replace');
+2. drop <script>/<style>/<head> blocks;
+3. block-closing tags and <br> become newlines;
+4. remaining tags become spaces; HTML entities unescaped;
+5. per line: unicode-whitespace runs collapse to single spaces; blank
+   lines drop; lines join with '\n'.
+
+The per-row invariant "byte-identical extracted text per url" is gated by
+tests against the ``text`` oracle column (the synthesizer constructs html
+whose extraction equals ``text`` exactly).
+
+URL normalization (deterministic pure function): resolve relative hrefs
+against the page url (RFC 3986 via urllib.parse), keep http(s) only,
+lowercase scheme and host, strip default ports, strip fragments, drop
+empty queries.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_HEAD_RE = re.compile(r"(?is)<head\b.*?</head\s*>")
+_BLOCK_RE = re.compile(
+    r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/pre|/title)[^>]*>"
+)
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_HREF_RE = re.compile(
+    r"(?is)<a\s[^>]*?href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+)
+
+
+def extract_text(html_bytes: Optional[bytes]) -> str:
+    """Deterministic HTML → text (spec in module docstring)."""
+    if html_bytes is None:
+        return ""
+    s = html_bytes.decode("utf-8", errors="replace")
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _HEAD_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _html.unescape(s)
+    lines = [" ".join(line.split()) for line in s.split("\n")]
+    return "\n".join(line for line in lines if line)
+
+
+def extract_hrefs(html_bytes: Optional[bytes]) -> list[str]:
+    """Raw href attribute values in document order."""
+    if html_bytes is None:
+        return []
+    s = html_bytes.decode("utf-8", errors="replace")
+    s = _SCRIPT_RE.sub(" ", s)
+    out = []
+    for m in _HREF_RE.finditer(s):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        href = _html.unescape(href).strip()
+        if href:
+            out.append(href)
+    return out
+
+
+def normalize_url(base_url: str, href: str) -> Optional[str]:
+    """Resolve + canonicalize; None if not http(s)."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    try:
+        resolved = urljoin(base_url, href)
+        parts = urlsplit(resolved)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    host = host.lower()
+    port = parts.port
+    if port is not None and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = parts.path or "/"
+    return urlunsplit((scheme, host, path, parts.query, ""))
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages -> (url, text STRING, links ARRAY<STRING>) via one
+    Arrow-batched mapInPandas pass (html decoded once per row for both
+    text and links)."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, links = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                texts.append(extract_text(blob))
+                normed = []
+                for href in extract_hrefs(blob):
+                    n = normalize_url(url, href)
+                    if n is not None:
+                        normed.append(n)
+                links.append(normed)
+            yield pd.DataFrame(
+                {"url": pdf["url"], "text": texts, "links": links}
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        _parse, schema="url string, text string, links array<string>"
+    )
+
+
+def pages_to_edges(
+    pages: DataFrame, restrict_to_corpus: bool = True
+) -> DataFrame:
+    """pages -> distinct (src_url, dst_url); optionally only edges whose
+    target is itself a page in the corpus (semi-join against the url set —
+    at scale both sides are huge, so this is a plain shuffled semi-join on
+    the url key; no broadcast)."""
+    parsed = parse_pages(pages)
+    edges = (
+        parsed.select(F.col("url").alias("src_url"), F.explode("links").alias("dst_url"))
+        .filter(F.col("src_url") != F.col("dst_url"))
+        .distinct()
+    )
+    if restrict_to_corpus:
+        urls = pages.select(F.col("url").alias("dst_url")).distinct()
+        edges = edges.join(urls, "dst_url", "left_semi")
+    return edges.select("src_url", "dst_url")
+
+
+def encode_edges(
+    edges_urls: DataFrame, ids: Optional[DataFrame] = None
+) -> tuple[DataFrame, DataFrame]:
+    """(src_url, dst_url) -> ((src, dst) BIGINT edges, ids dictionary).
+
+    Dictionary encoding (the Indexer contract, SURVEY.md §1.7): joins on
+    dense longs instead of long url strings — Catalyst/Tungsten joins and
+    parquet dictionary pages both benefit.
+    """
+    from ..indexer import build_ids
+
+    if ids is None:
+        nodes = (
+            edges_urls.select(F.col("src_url").alias("node"))
+            .unionByName(edges_urls.select(F.col("dst_url").alias("node")))
+            .distinct()
+        )
+        ids = build_ids(nodes)
+    out = (
+        edges_urls.join(ids.withColumnRenamed("node", "src_url"), "src_url")
+        .withColumnRenamed("id", "src")
+        .join(ids.withColumnRenamed("node", "dst_url"), "dst_url")
+        .withColumnRenamed("id", "dst")
+        .select("src", "dst")
+    )
+    return out, ids

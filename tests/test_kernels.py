@@ -1,0 +1,189 @@
+"""Canonical link-graph kernels vs pure-Python/numpy oracles (SURVEY.md §2.8).
+
+Oracle graph: deterministic seeded digraph, small enough for exact
+driver-side reference implementations.
+"""
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from networkx_graph_spark.kernels.components import connected_components
+from networkx_graph_spark.kernels.lpa import label_propagation
+from networkx_graph_spark.kernels.pagerank import pagerank
+from networkx_graph_spark.kernels.triangles import triangle_count, triangle_count_per_vertex
+
+
+def _random_edges(n=60, m=150, seed=7):
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            es.add((a, b))
+    return sorted(es)
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    df = spark.createDataFrame(_random_edges(), "src long, dst long")
+    df = df.persist()
+    df.count()
+    return df
+
+
+def _pagerank_oracle(edges, damping=0.85, tol=1e-12, max_iter=500):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, v in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        dangling = sum(r[i] for i in range(n) if out[i] == 0)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+        new = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.max(np.abs(new - r)) <= tol:
+            r = new
+            break
+        r = new
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_vs_oracle(spark, edges_df):
+    res = pagerank(edges_df, tol=1e-9, max_iter=200)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = _pagerank_oracle(_random_edges())
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+    # ranks sum to 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _cc_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("algorithm", ["hashmin", "twophase"])
+def test_components_vs_oracle(spark, edges_df, algorithm):
+    res = connected_components(edges_df, algorithm=algorithm)
+    assert res.converged
+    got = {r["id"]: r["component"] for r in res.state.collect()}
+    want = _cc_oracle(_random_edges())
+    assert got == want
+
+
+def test_components_disconnected(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], "src long, dst long"
+    )
+    for algo in ("hashmin", "twophase"):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, algorithm=algo).state.collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}, algo
+
+
+def _lpa_oracle(edges, max_iter=20):
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    labels = {v: v for v in nbrs}
+    for _ in range(max_iter):
+        new = {}
+        for v in nbrs:
+            counts = Counter(labels[u] for u in nbrs[v])
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_lpa_vs_oracle(spark, edges_df):
+    res = label_propagation(edges_df, max_iter=20)
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    want = _lpa_oracle(_random_edges(), max_iter=res.iterations)
+    assert got == want
+
+
+def _triangles_oracle(edges):
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    total = 0
+    per = defaultdict(int)
+    nodes = sorted(nbrs)
+    for a in nodes:
+        for b in nbrs[a]:
+            if b <= a:
+                continue
+            for c in nbrs[a] & nbrs[b]:
+                if c > b:
+                    total += 1
+                    per[a] += 1
+                    per[b] += 1
+                    per[c] += 1
+    return total, dict(per)
+
+
+def test_triangles_vs_oracle(spark, edges_df):
+    want_total, want_per = _triangles_oracle(_random_edges())
+    assert triangle_count(edges_df) == want_total
+    got = {r["id"]: r["triangles"] for r in triangle_count_per_vertex(edges_df).collect()}
+    for v in got:
+        assert got[v] == want_per.get(v, 0), v
+
+
+def test_pagerank_checkpoint_resume(spark, edges_df, tmp_path):
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    d = str(tmp_path / "ck")
+    r1 = SuperstepRunner(spark, checkpoint_dir=d)
+    full = pagerank(edges_df, tol=1e-9, max_iter=6, runner=r1, name="pr")
+    a = {r["id"]: r["rank"] for r in full.state.collect()}
+    # simulate a crash after iteration 3: delete later checkpoints, resume
+    import shutil, os
+
+    for entry in os.listdir(os.path.join(d, "pr")):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > 3:
+            shutil.rmtree(os.path.join(d, "pr", entry))
+    r2 = SuperstepRunner(spark, checkpoint_dir=d)
+    resumed = pagerank(
+        edges_df, tol=1e-9, max_iter=6, runner=r2, name="pr", resume=True
+    )
+    b = {r["id"]: r["rank"] for r in resumed.state.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+    # metrics lineage was written
+    assert os.path.exists(os.path.join(d, "pr", "metrics.jsonl"))

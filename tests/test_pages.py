@@ -1,0 +1,83 @@
+"""Pages ingest: byte-identical text extraction + exact edge sets
+(BASELINE.json:15 gating invariant)."""
+
+from pyspark.sql import functions as F
+
+from networkx_graph_spark.sources.pages import (
+    encode_edges,
+    extract_text,
+    normalize_url,
+    pages_to_edges,
+    parse_pages,
+)
+from networkx_graph_spark.sources.pages_synth import (
+    expected_edges,
+    expected_normalized,
+    synth_pages,
+)
+
+N_PAGES = 120
+
+
+def test_normalize_url():
+    base = "https://example.com/p/3"
+    assert normalize_url(base, "/p/7") == "https://example.com/p/7"
+    assert normalize_url(base, "../p/7") == "https://example.com/p/7"
+    assert normalize_url(base, "HTTPS://EXAMPLE.COM/p/7") == "https://example.com/p/7"
+    assert normalize_url(base, "https://example.com:443/p/7") == "https://example.com/p/7"
+    assert normalize_url(base, "http://example.com:80/p/7") == "http://example.com/p/7"
+    assert normalize_url(base, "http://example.com:8080/a") == "http://example.com:8080/a"
+    assert normalize_url(base, "https://example.com/p/7#frag") == "https://example.com/p/7"
+    assert normalize_url(base, "mailto:x@y.z") is None
+    assert normalize_url(base, "javascript:void(0)") is None
+    assert normalize_url(base, "https://Other.ORG/x/1?a=1") == "https://other.org/x/1?a=1"
+    assert normalize_url(base, "https://example.com") == "https://example.com/"
+
+
+def test_extract_text_unit():
+    html = (
+        b"<html><head><title>T</title><script>if (a<b) {}</script></head>"
+        b"<body><h1>Hello &amp; bye</h1><p>one  two\n three</p>"
+        b"<div>four</div><span>five</span> six</body></html>"
+    )
+    # raw source newlines split lines too (whitespace-normalized per line)
+    assert extract_text(html) == "Hello & bye\none two\nthree\nfour\nfive six"
+
+
+def test_byte_identical_text(spark):
+    pages = synth_pages(spark, N_PAGES)
+    parsed = parse_pages(pages)
+    joined = pages.select("url", F.col("text").alias("expected")).join(
+        parsed.select("url", "text"), "url"
+    )
+    n_bad = joined.filter(F.col("text") != F.col("expected")).count()
+    assert n_bad == 0
+    assert joined.count() == N_PAGES
+
+
+def test_links_normalized(spark):
+    pages = synth_pages(spark, N_PAGES)
+    got = {
+        r["url"]: r["links"] for r in parse_pages(pages).select("url", "links").collect()
+    }
+    for i in (0, 1, 5, 57, N_PAGES - 1):
+        url = f"https://example.com/p/{i}"
+        assert got[url] == expected_normalized(i, N_PAGES, 42), url
+
+
+def test_edges_exact(spark):
+    pages = synth_pages(spark, N_PAGES)
+    edges = pages_to_edges(pages)
+    got = {(r["src_url"], r["dst_url"]) for r in edges.collect()}
+    assert got == expected_edges(N_PAGES)
+
+
+def test_encode_edges(spark):
+    pages = synth_pages(spark, N_PAGES)
+    eu = pages_to_edges(pages)
+    enc, ids = encode_edges(eu)
+    assert enc.count() == eu.count()
+    # ids dense from 1_000_000 (urls never parse as ints)
+    id_vals = sorted(r["id"] for r in ids.collect())
+    assert id_vals[0] == 1_000_000
+    assert id_vals == list(range(1_000_000, 1_000_000 + len(id_vals)))
