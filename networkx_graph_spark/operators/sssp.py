@@ -74,25 +74,30 @@ def bounded_sssp(
     cutoffs: DataFrame,
     sinks: Optional[DataFrame] = None,
     max_iter: int = 10_000,
+    payload_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Run the label-correcting relaxation to fixpoint.
 
     Parameters
     ----------
     edges_w : (src, dst, weight) — weight = length of the node relaxed out of
-    seeds   : (qid, node, dist, prev, prev_dist) — cutoff-exempt
+    seeds   : (qid, node, dist, prev, prev_dist [, payload...]) — cutoff-exempt
     cutoffs : (qid, cutoff) — admission bound per query (broadcast)
     sinks   : (qid, node) or None — arrive-only barrier nodes (broadcast)
+    payload_cols : extra seed columns carried along winning paths (e.g. the
+        UBODT ``first_hop``); they ride behind the tie-break key.
 
-    Returns the converged state (qid, node, dist, prev, prev_dist).
+    Returns the converged state (qid, node, dist, prev, prev_dist [, payload]).
     """
+    pl = list(payload_cols)
+    key = ["dist", "prev_dist", "prev", *pl]
     state = seeds.localCheckpoint(eager=True)
     frontier = state
     for _ in range(max_iter):
         f = frontier
         if sinks is not None:
             f = f.join(F.broadcast(sinks), ["qid", "node"], "left_anti")
-        fsel = f.select("qid", "node", "dist")
+        fsel = f.select("qid", "node", "dist", *pl)
         msgs = (
             fsel.join(edges_w, fsel["node"] == edges_w["src"])
             .select(
@@ -101,26 +106,27 @@ def bounded_sssp(
                 (fsel["dist"] + edges_w["weight"]).alias("dist"),
                 edges_w["src"].alias("prev"),
                 fsel["dist"].alias("prev_dist"),
+                *[fsel[c] for c in pl],
             )
-            .join(F.broadcast(cutoffs), "qid")
-            .filter(F.col("dist") <= F.col("cutoff"))
-            .drop("cutoff")
         )
+        if isinstance(cutoffs, (int, float)):
+            msgs = msgs.filter(F.col("dist") <= F.lit(float(cutoffs)))
+        else:
+            msgs = (
+                msgs.join(F.broadcast(cutoffs), "qid")
+                .filter(F.col("dist") <= F.col("cutoff"))
+                .drop("cutoff")
+            )
         best = (
             msgs.groupBy("qid", "node")
-            .agg(F.min(F.struct("dist", "prev_dist", "prev")).alias("m"))
-            .select("qid", "node", "m.dist", "m.prev_dist", "m.prev")
+            .agg(F.min(F.struct(*key)).alias("m"))
+            .select("qid", "node", *[F.col(f"m.{c}").alias(c) for c in key])
         )
-        old = state.select(
-            "qid", "node", F.struct("dist", "prev_dist", "prev").alias("_old")
-        )
+        old = state.select("qid", "node", F.struct(*key).alias("_old"))
         improved = (
             best.join(old, ["qid", "node"], "left")
-            .filter(
-                F.col("_old").isNull()
-                | (F.struct("dist", "prev_dist", "prev") < F.col("_old"))
-            )
-            .select("qid", "node", "dist", "prev", "prev_dist")
+            .filter(F.col("_old").isNull() | (F.struct(*key) < F.col("_old")))
+            .select("qid", "node", "dist", "prev", "prev_dist", *pl)
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
