@@ -264,13 +264,15 @@ class SparkDiGraph:
 
     @cached_property
     def sibs_under_next(self) -> DataFrame:
-        """(a, b): a and b share a common successor — wedge self-join
-        (/root/reference/src/main.cpp:1041-1053). Includes the zero-cost
-        sibling transfers consumed by zigzag routing. Excludes a==b."""
-        e1 = self.edges.select(F.col("src").alias("a"), "dst")
-        e2 = self.edges.select(F.col("src").alias("b"), "dst")
+        """(a, b): a and b are *siblings under a common next-set*, i.e.
+        they share a common PREDECESSOR — built from the forward adjacency
+        in the reference (/root/reference/src/main.cpp:1041-1053): every
+        node with >1 successors makes those successors mutual siblings.
+        Wedge self-join on src; excludes a==b (:1050-1052)."""
+        e1 = self.edges.select("src", F.col("dst").alias("a"))
+        e2 = self.edges.select("src", F.col("dst").alias("b"))
         return (
-            e1.join(e2, "dst")
+            e1.join(e2, "src")
             .filter(F.col("a") != F.col("b"))
             .select("a", "b")
             .distinct()
@@ -278,12 +280,12 @@ class SparkDiGraph:
 
     @cached_property
     def sibs_under_prev(self) -> DataFrame:
-        """(a, b): a and b share a common predecessor
-        (/root/reference/src/main.cpp:1054-1066)."""
-        e1 = self.edges.select("src", F.col("dst").alias("a"))
-        e2 = self.edges.select("src", F.col("dst").alias("b"))
+        """(a, b): siblings under a common prev-set, i.e. they share a
+        common SUCCESSOR (/root/reference/src/main.cpp:1054-1066)."""
+        e1 = self.edges.select(F.col("src").alias("a"), "dst")
+        e2 = self.edges.select(F.col("src").alias("b"), "dst")
         return (
-            e1.join(e2, "src")
+            e1.join(e2, "dst")
             .filter(F.col("a") != F.col("b"))
             .select("a", "b")
             .distinct()
