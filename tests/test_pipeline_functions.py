@@ -206,8 +206,11 @@ def test_streaming_windowed_counts(spark, tmp_path):
         (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
         for r in windowed_event_counts_batch(events).collect()
     }
+    # file streams need a directory source
+    src_dir = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src_dir)
     q = windowed_event_counts_stream(
-        spark, f"{SF_DIR}/events.parquet", events.schema, query_name="t_windows"
+        spark, src_dir, events.schema, query_name="t_windows"
     )
     q.processAllAvailable()
     stream = {
