@@ -291,6 +291,22 @@ class SparkDiGraph:
             .distinct()
         )
 
+    def sibs_under_next_map(self) -> dict[str, set[str]]:
+        """String-keyed sibling map, reference accessor parity
+        (/root/reference/src/main.cpp:391-403). Fixture-scale collect."""
+        nm = self.names_map
+        out: dict[str, set[str]] = {}
+        for r in self.sibs_under_next.collect():
+            out.setdefault(nm[r["a"]], set()).add(nm[r["b"]])
+        return out
+
+    def sibs_under_prev_map(self) -> dict[str, set[str]]:
+        nm = self.names_map
+        out: dict[str, set[str]] = {}
+        for r in self.sibs_under_prev.collect():
+            out.setdefault(nm[r["a"]], set()).add(nm[r["b"]])
+        return out
+
     # ------------------------------------------------------------ stats
     @cached_property
     def out_degrees(self) -> DataFrame:

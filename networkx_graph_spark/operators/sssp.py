@@ -294,6 +294,23 @@ class ShortestPathGen:
         reference returns raw dmap values here)."""
         return sorted((d, n) for n, d in self.dists().items())
 
+    def to_dict(self) -> dict:
+        """Generator summary (/root/reference/tests/test_basic.py:681,
+        :698, :834): {'cutoff': ..., 'source'|'target': (node, offset)}."""
+        d: dict = {"cutoff": self.cutoff}
+        if self.source is not None:
+            d["source"] = self.source
+        if self.target is not None:
+            d["target"] = self.target
+        return d
+
+    def source_info(self):
+        """source() accessor (/root/reference/src/main.cpp:2882-2896)."""
+        return self.source
+
+    def target_info(self):
+        return self.target
+
     def _single_node_path(self) -> list[PathResult]:
         """Empty-prevs special case (/root/reference/src/main.cpp:2938-2976)."""
         scale = self.graph.scale
@@ -436,6 +453,7 @@ def shortest_path(
     source_offset: Optional[float] = None,
     target_offset: Optional[float] = None,
     sinks: Optional[Sequence[str]] = None,
+    endpoints=None,
 ) -> Optional[PathResult]:
     """Point-to-point shortest path (/root/reference/src/main.cpp:547-620).
 
@@ -443,6 +461,12 @@ def shortest_path(
     contributes ``length(source) - source_offset``, target contributes
     ``target_offset``, /root/reference/src/main.cpp:599-611). Same-node
     special cases per /root/reference/src/main.cpp:585-597.
+
+    ``endpoints``: accepted for API parity with the reference's A* path
+    (/root/reference/src/main.cpp:606-609). A* is a heap-ordering
+    optimization whose result equals Dijkstra's; the fixpoint kernel has
+    no heap, so endpoints do not change results (see operators/astar.py
+    for the heuristic surface and the optional pruning rationale).
     """
     if cutoff < 0:
         return None
