@@ -68,16 +68,25 @@ def shingles_col(text, n: int = 3):
 # --------------------------------------------------------- minhash + LSH
 def minhash_signature(docs: DataFrame, id_col="doc_id", text_col="text",
                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """(id, sig ARRAY<BIGINT>[num_hashes]) — min over shingles of k salted
-    xxhash64s, computed as array expressions (JVM-side)."""
-    sh = shingles_col(F.col(text_col), shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    """(id, sig ARRAY<BIGINT>[num_hashes]).
+
+    Shape matters: higher-order array functions block Spark's
+    subexpression elimination, so k inline ``array_min(transform(...))``
+    calls would re-tokenize and re-shingle the text k times. Instead:
+    shingle ONCE, explode, hash each shingle string ONCE (xxhash64), then
+    take k mins of cheap integer re-mixes ``xxhash64(h, i)`` in a single
+    map-side-partial aggregation."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), shingle_n)).alias("s")
+    ).select("id", F.xxhash64("s").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_s{i}") for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"_s{i}") for i in range(num_hashes)]).alias("sig"))
     )
-    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -104,28 +113,25 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[F.col("sig")[bi * r + j].cast("string") for j in range(r)],
-                            )
+                            *[F.col("sig")[bi * r + j] for j in range(r)]
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("b"), "band", "bucket")
+    # dedupe candidate pairs on the narrow (a, b) key FIRST, then join the
+    # signatures back — never shuffle/dedupe the 16-long arrays per pair
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .distinct()
+        .join(sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b")), "b")
     )
     agree = F.size(
         F.filter(

@@ -9,16 +9,21 @@ usual power-iteration formulation):
 
 converging when ``max|r' - r| <= tol``.
 
-Scale design:
-- edges are pre-partitioned by ``src`` once (persisted); each superstep
-  re-uses that exchange for the ranks⋈edges join;
-- the contribution aggregation is a map-side-partial ``sum`` groupBy —
-  power-law in-degree hubs reduce per-partition before the shuffle, and
-  AQE skew-join handles residual join skew (session defaults);
-- dangling mass is a scalar agg per superstep (no broadcast of vertex-size
-  data);
-- per-superstep state (id, rank) checkpoints through SuperstepRunner for
-  lineage truncation + durable resume.
+Scale design (per-superstep job count matters as much as shuffle volume):
+
+- contribution edges ``(src, dst, inv_deg)`` are joined once and
+  pre-partitioned by ``src`` (persisted) — every superstep's ranks⋈edges
+  join reuses that exchange;
+- the dangling-mass scalar is a 1-row aggregate CROSS-JOINED into the
+  plan (broadcast), not collected — no extra driver round-trip;
+- the state carries ``prev_rank`` so the convergence metric is a single
+  co-partition-free scan-aggregate over the checkpointed state: exactly
+  TWO jobs per superstep (materialize + delta), no 1M x 1M delta join;
+- the contribution aggregation is map-side-partial ``sum`` — power-law
+  in-degree hubs reduce per-partition before the shuffle; AQE skew-join
+  handles residual join skew (session defaults);
+- state checkpoints via SuperstepRunner (lineage truncation + durable
+  parquet resume, north rule).
 """
 
 from __future__ import annotations
@@ -56,14 +61,10 @@ def pagerank(
         .persist()
     )
     n = vertices.count()
-    out_deg = (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.count("*").alias("out_deg"))
-        .repartition(num_partitions, "id")
-        .persist()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
     )
-    out_deg.count()
-    # contribution edges: (src, dst, inv_deg) — join once, reuse every superstep
+    # contribution edges: join once, reuse the src-hash exchange every superstep
     cedges = (
         edges.join(out_deg.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
@@ -71,18 +72,23 @@ def pagerank(
         .persist()
     )
     cedges.count()
-    dangling = vertices.join(
-        out_deg.select("id"), "id", "left_anti"
-    ).persist()
-    dangling.count()
 
-    init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    init = (
+        vertices.join(out_deg, "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.lit(0.0).alias("prev_rank"),
+            F.col("out_deg").isNull().alias("dangling"),
+        )
+        .repartition(num_partitions, "id")
+    )
 
     def step(state: DataFrame, i: int):
-        dm_row = state.join(dangling, "id", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0))
-        ).collect()
-        dangling_mass = dm_row[0][0]
+        # 1-row dangling-mass aggregate, broadcast into the plan (no collect)
+        dm_df = state.filter(F.col("dangling")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
         contribs = (
             state.join(cedges, state["id"] == cedges["src"])
             .select(
@@ -92,32 +98,28 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        base = (1.0 - damping) / n + damping * dangling_mass / n
         new_state = (
-            vertices.join(contribs, "id", "left")
+            state.select("id", F.col("rank").alias("prev_rank"), "dangling")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dm_df))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.col("_dm") / n + F.coalesce(F.col("c"), F.lit(0.0)))
+                ).alias("rank"),
+                "prev_rank",
+                "dangling",
             )
             .repartition(num_partitions, "id")
             .localCheckpoint(eager=True)
         )
-        # max|delta| — joined on the co-partitioned id key; runs against the
-        # checkpointed state so the plan is computed exactly once
-        delta = (
-            new_state.alias("n")
-            .join(state.alias("o"), "id")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .collect()[0][0]
-        )
-        return new_state, {
-            "max_delta": delta,
-            "dangling_mass": dangling_mass,
-            "n": n,
-            "_checkpointed": True,
-        }
+        # convergence metric: single scan over the checkpointed state
+        delta = new_state.agg(F.max(F.abs(F.col("rank") - F.col("prev_rank")))).collect()[
+            0
+        ][0]
+        return new_state, {"max_delta": delta, "n": n, "_checkpointed": True}
 
     result = runner.run(
         name,
@@ -128,6 +130,7 @@ def pagerank(
         tol=tol,
         resume=resume,
     )
-    for df in (vertices, out_deg, cedges, dangling):
+    result.state = result.state.select("id", "rank")
+    for df in (vertices, cedges):
         df.unpersist()
     return result
