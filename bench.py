@@ -35,8 +35,11 @@ PR_ITERS = int(os.environ.get("BENCH_PR_ITERS", "10"))
 def get_session():
     from networkx_graph_spark.session import get_spark
 
+    # BENCH_SHUFFLE_PARTITIONS pins the partition count across parallelism
+    # levels (the scaling experiment varies ONLY cores)
+    parts = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", max(CPUS, 8)))
     return get_spark(app_name="nxg-bench", master=f"local[{CPUS}]",
-                     shuffle_partitions=max(CPUS, 8))
+                     shuffle_partitions=parts)
 
 
 def bench_pagerank_powerlaw(spark, results):

@@ -72,6 +72,8 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
     )
 
     def step(state: DataFrame, i: int):
+        from pyspark.sql import Observation
+
         nbr_min = (
             state.join(sym, state["id"] == sym["src"])
             .select(sym["dst"].alias("id"), state["component"].alias("c"))
@@ -82,27 +84,29 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
             state.join(nbr_min, "id", "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("prev_component"),
             )
             .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        return new_state, {"changed": changed, "_checkpointed": True}
+        obs = Observation()
+        new_state = new_state.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("component") != F.col("prev_component")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
+        ).localCheckpoint(eager=True)
+        return new_state, {"changed": obs.get["changed"], "_checkpointed": True}
 
     result = runner.run(
         name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume
     )
     sym.unpersist()
     # self-components for isolated vertices (self-loop-only or none)
-    result.state = result.state.unionByName(
+    result.state = result.state.select("id", "component").unionByName(
         isolated.select("id", F.col("id").alias("component"))
     )
     return result

@@ -64,23 +64,30 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", F.col("l").alias("new_label"))
         )
+        from pyspark.sql import Observation
+
         new_state = (
             state.join(winner, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("label").alias("prev_label"),
+            )
             .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        return new_state, {"changed": changed, "_checkpointed": True}
+        obs = Observation()
+        new_state = new_state.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("label") != F.col("prev_label")).cast("long")), F.lit(0)
+            ).alias("changed"),
+        ).localCheckpoint(eager=True)
+        return new_state, {"changed": obs.get["changed"], "_checkpointed": True}
 
     result = runner.run(
         name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume
     )
+    result.state = result.state.select("id", "label")
     sym.unpersist()
     all_vertices.unpersist()
     return result

@@ -14,11 +14,11 @@ Scale design (per-superstep job count matters as much as shuffle volume):
 - contribution edges ``(src, dst, inv_deg)`` are joined once and
   pre-partitioned by ``src`` (persisted) — every superstep's ranks⋈edges
   join reuses that exchange;
-- the dangling-mass scalar is a 1-row aggregate CROSS-JOINED into the
-  plan (broadcast), not collected — no extra driver round-trip;
-- the state carries ``prev_rank`` so the convergence metric is a single
-  co-partition-free scan-aggregate over the checkpointed state: exactly
-  TWO jobs per superstep (materialize + delta), no 1M x 1M delta join;
+- exactly ONE Spark job per superstep: the convergence delta AND the
+  next iteration's dangling mass are ``Observation`` metrics collected as
+  a side effect of the checkpoint action (no separate aggregation jobs,
+  no broadcast subjob) — the dangling mass enters the following plan as a
+  literal;
 - the contribution aggregation is map-side-partial ``sum`` — power-law
   in-degree hubs reduce per-partition before the shuffle; AQE skew-join
   handles residual join skew (session defaults);
@@ -84,11 +84,22 @@ def pagerank(
         .repartition(num_partitions, "id")
     )
 
+    n_dangling = vertices.join(out_deg, "id", "left_anti").count()
+    # dm of the uniform init state; afterwards maintained via observations;
+    # None forces a recompute from loaded state (resume path)
+    dm_holder = {"dm": None if resume else (n_dangling / n if n else 0.0)}
+
     def step(state: DataFrame, i: int):
-        # 1-row dangling-mass aggregate, broadcast into the plan (no collect)
-        dm_df = state.filter(F.col("dangling")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
+        from pyspark.sql import Observation
+
+        dm = dm_holder["dm"]
+        if dm is None:
+            # resume path: recompute the dangling mass from the loaded state
+            dm = (
+                state.filter(F.col("dangling"))
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
         contribs = (
             state.join(cedges, state["id"] == cedges["src"])
             .select(
@@ -101,25 +112,33 @@ def pagerank(
         new_state = (
             state.select("id", F.col("rank").alias("prev_rank"), "dangling")
             .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dm_df))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.col("_dm") / n + F.coalesce(F.col("c"), F.lit(0.0)))
+                    + F.lit(damping) * (F.lit(dm / n) + F.coalesce(F.col("c"), F.lit(0.0)))
                 ).alias("rank"),
                 "prev_rank",
                 "dangling",
             )
             .repartition(num_partitions, "id")
-            .localCheckpoint(eager=True)
         )
-        # convergence metric: single scan over the checkpointed state
-        delta = new_state.agg(F.max(F.abs(F.col("rank") - F.col("prev_rank")))).collect()[
-            0
-        ][0]
-        return new_state, {"max_delta": delta, "n": n, "_checkpointed": True}
+        obs = Observation()  # auto-named; unique per superstep
+        new_state = new_state.observe(
+            obs,
+            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("dm"),
+        ).localCheckpoint(eager=True)
+        vals = obs.get
+        dm_holder["dm"] = vals["dm"]
+        return new_state, {
+            "max_delta": vals["delta"],
+            "dangling_mass": vals["dm"],
+            "n": n,
+            "_checkpointed": True,
+        }
 
     result = runner.run(
         name,
