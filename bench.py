@@ -36,7 +36,10 @@ def get_session():
     from networkx_graph_spark.session import get_spark
 
     # BENCH_SHUFFLE_PARTITIONS pins the partition count across parallelism
-    # levels (the scaling experiment varies ONLY cores)
+    # levels (the scaling experiment varies ONLY cores). Driver memory must
+    # exceed the working set by a wide margin or GC dominates both levels
+    # and masks core scaling (local mode = one JVM).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     parts = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", max(CPUS, 8)))
     return get_spark(app_name="nxg-bench", master=f"local[{CPUS}]",
                      shuffle_partitions=parts)

@@ -23,7 +23,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.supersteps import SuperstepRunner, SuperstepResult
+from ..plans.supersteps import Materializer, SuperstepRunner, SuperstepResult
 
 
 def _sym(edges: DataFrame) -> DataFrame:
@@ -60,6 +60,7 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
     runner = runner or SuperstepRunner(spark)
     sym = _sym(edges).repartition(num_partitions, "src").persist()
     sym.count()
+    mat = Materializer()
     vertices = sym.select(F.col("src").alias("id")).distinct()
     isolated = (
         edges.select(F.col("src").alias("id"))
@@ -74,9 +75,10 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
     def step(state: DataFrame, i: int):
         from pyspark.sql import Observation
 
+        ss = sym.select(F.col("src").alias("_ssrc"), F.col("dst").alias("_sdst"))
         nbr_min = (
-            state.join(sym, state["id"] == sym["src"])
-            .select(sym["dst"].alias("id"), state["component"].alias("c"))
+            state.join(ss, state["id"] == F.col("_ssrc"))
+            .select(F.col("_sdst").alias("id"), state["component"].alias("c"))
             .groupBy("id")
             .agg(F.min("c").alias("nbr_min"))
         )
@@ -92,18 +94,21 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
             .repartition(num_partitions, "id")
         )
         obs = Observation()
-        new_state = new_state.observe(
-            obs,
-            F.coalesce(
-                F.sum((F.col("component") != F.col("prev_component")).cast("long")),
-                F.lit(0),
-            ).alias("changed"),
-        ).localCheckpoint(eager=True)
+        new_state = mat.materialize(
+            new_state.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("component") != F.col("prev_component")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+        )
         return new_state, {"changed": obs.get["changed"], "_checkpointed": True}
 
     result = runner.run(
         name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume
     )
+    mat.release()
     sym.unpersist()
     # self-components for isolated vertices (self-loop-only or none)
     result.state = result.state.select("id", "component").unionByName(
@@ -170,8 +175,10 @@ def _cc_twophase(edges, max_iter, runner, name, resume, num_partitions):
             .repartition(num_partitions, "u")
         )
 
+    mat2 = Materializer()
+
     def step(state: DataFrame, i: int):
-        new_state = small_star(large_star(state)).localCheckpoint(eager=True)
+        new_state = mat2.materialize(small_star(large_star(state)), free_prev=False)
         changed = (
             new_state.join(state, ["u", "v"], "left_anti").count()
             + state.join(new_state, ["u", "v"], "left_anti").count()

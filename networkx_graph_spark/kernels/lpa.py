@@ -21,7 +21,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.supersteps import SuperstepRunner, SuperstepResult
+from ..plans.supersteps import Materializer, SuperstepRunner, SuperstepResult
 from .components import _sym
 
 
@@ -47,14 +47,16 @@ def label_propagation(
         .persist()
     )
     all_vertices.count()
+    mat = Materializer()
     init = all_vertices.select("id", F.col("id").alias("label")).repartition(
         num_partitions, "id"
     )
 
     def step(state: DataFrame, i: int):
+        ss = sym.select(F.col("src").alias("_ssrc"), F.col("dst").alias("_sdst"))
         votes = (
-            state.join(sym, state["id"] == sym["src"])
-            .select(sym["dst"].alias("id"), state["label"].alias("l"))
+            state.join(ss, state["id"] == F.col("_ssrc"))
+            .select(F.col("_sdst").alias("id"), state["label"].alias("l"))
             .groupBy("id", "l")
             .agg(F.count("*").alias("cnt"))
         )
@@ -76,18 +78,21 @@ def label_propagation(
             .repartition(num_partitions, "id")
         )
         obs = Observation()
-        new_state = new_state.observe(
-            obs,
-            F.coalesce(
-                F.sum((F.col("label") != F.col("prev_label")).cast("long")), F.lit(0)
-            ).alias("changed"),
-        ).localCheckpoint(eager=True)
+        new_state = mat.materialize(
+            new_state.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("prev_label")).cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
+        )
         return new_state, {"changed": obs.get["changed"], "_checkpointed": True}
 
     result = runner.run(
         name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume
     )
     result.state = result.state.select("id", "label")
+    mat.release()
     sym.unpersist()
     all_vertices.unpersist()
     return result

@@ -33,7 +33,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.supersteps import SuperstepRunner, SuperstepResult
+from ..plans.supersteps import Materializer, SuperstepRunner, SuperstepResult
 
 
 def pagerank(
@@ -84,6 +84,7 @@ def pagerank(
         .repartition(num_partitions, "id")
     )
 
+    mat = Materializer()
     n_dangling = vertices.join(out_deg, "id", "left_anti").count()
     # dm of the uniform init state; afterwards maintained via observations;
     # None forces a recompute from loaded state (resume path)
@@ -100,11 +101,18 @@ def pagerank(
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .collect()[0][0]
             )
+        # rename the edge side: persisted state keeps lineage back to
+        # cedges, so dataframe[col] references would be ambiguous
+        ce = cedges.select(
+            F.col("src").alias("_csrc"),
+            F.col("dst").alias("_cdst"),
+            F.col("inv_deg").alias("_cinv"),
+        )
         contribs = (
-            state.join(cedges, state["id"] == cedges["src"])
+            state.join(ce, state["id"] == F.col("_csrc"))
             .select(
-                cedges["dst"].alias("id"),
-                (state["rank"] * cedges["inv_deg"]).alias("c"),
+                F.col("_cdst").alias("id"),
+                (state["rank"] * F.col("_cinv")).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
@@ -124,13 +132,15 @@ def pagerank(
             .repartition(num_partitions, "id")
         )
         obs = Observation()  # auto-named; unique per superstep
-        new_state = new_state.observe(
-            obs,
-            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
-            ).alias("dm"),
-        ).localCheckpoint(eager=True)
+        new_state = mat.materialize(
+            new_state.observe(
+                obs,
+                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+                ).alias("dm"),
+            )
+        )
         vals = obs.get
         dm_holder["dm"] = vals["dm"]
         return new_state, {
@@ -150,6 +160,7 @@ def pagerank(
         resume=resume,
     )
     result.state = result.state.select("id", "rank")
+    mat.release()
     for df in (vertices, cedges):
         df.unpersist()
     return result
