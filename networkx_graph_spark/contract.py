@@ -571,6 +571,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessions(spark, sf_dir):
+    from .streaming.events import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+SQL_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events, round(sum(value), 3) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_revenue_agg(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -720,6 +744,7 @@ def build_queries() -> dict:
         "quality_filter": q_quality_filter,
         "embed_topk": q_embed_topk,
         "event_windows": q_event_windows,
+        "sessions": q_sessions,
         "revenue_agg": q_revenue_agg,
         "top_customers": q_top_customers,
         # rows-only checks (non-SQL-expressible: hash functions, LSH
@@ -755,6 +780,7 @@ def build_oracles() -> dict:
         "quality_filter": SQL_QUALITY_FILTER,
         "embed_topk": SQL_EMBED_TOPK,
         "event_windows": SQL_EVENT_WINDOWS,
+        "sessions": SQL_SESSIONS,
         "revenue_agg": SQL_REVENUE_AGG,
         "top_customers": SQL_TOP_CUSTOMERS,
     }

@@ -291,6 +291,38 @@ class SparkDiGraph:
             .distinct()
         )
 
+    # -------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Persist as a parquet layout: {path}/vertices, {path}/edges,
+        {path}/meta.json. Vertices/edges write hash-partitioned on their
+        join keys so a re-load starts co-located."""
+        import json
+        import os
+
+        self.vertices.repartition(self.num_partitions, "id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "vertices"))
+        self.edges.repartition(self.num_partitions, "src").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "edges"))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"round_n": self.round_n}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SparkDiGraph":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark,
+            spark.read.parquet(os.path.join(path, "vertices")),
+            spark.read.parquet(os.path.join(path, "edges")),
+            round_n=meta.get("round_n"),
+        )
+
     def sibs_under_next_map(self) -> dict[str, set[str]]:
         """String-keyed sibling map, reference accessor parity
         (/root/reference/src/main.cpp:391-403). Fixture-scale collect."""

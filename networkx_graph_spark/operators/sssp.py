@@ -219,6 +219,8 @@ class PathResult:
     binding: Optional[tuple] = None
     directions: Optional[list[int]] = None  # zigzag only
 
+    _FIELDS = ("dist", "nodes", "start_offset", "end_offset", "binding", "directions")
+
     def to_dict(self) -> dict:
         d = {
             "dist": self.dist,
@@ -230,6 +232,11 @@ class PathResult:
             d["binding"] = self.binding
         if self.directions is not None:
             d["directions"] = list(self.directions)
+        # dynamic attrs (reference py::dynamic_attr parity,
+        # /root/reference/tests/test_basic.py:1291-1292)
+        for k, v in self.__dict__.items():
+            if k not in self._FIELDS and not k.startswith("_"):
+                d[k] = v
         return d
 
     def round(self, scale: Optional[float]) -> "PathResult":

@@ -168,12 +168,19 @@ class ZigzagPathResult:
     nodes: list[str]
     directions: list[int]
 
+    _FIELDS = ("dist", "nodes", "directions")
+
     def to_dict(self):
-        return {
+        d = {
             "dist": self.dist,
             "nodes": list(self.nodes),
             "directions": list(self.directions),
         }
+        # dynamic attrs (/root/reference/tests/test_basic.py:1291-1292)
+        for k, v in self.__dict__.items():
+            if k not in self._FIELDS and not k.startswith("_"):
+                d[k] = v
+        return d
 
     def round(self, scale):
         if scale is not None:

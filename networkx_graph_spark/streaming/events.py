@@ -83,3 +83,55 @@ def incremental_edge_ingest(
         )
 
     return pages.writeStream.foreachBatch(_sink).queryName(query_name).start()
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via native session windows (merge events per user
+    with < gap between them): (user_id, session_start, session_end,
+    n_events, total_value). Works identically over readStream (append
+    mode with watermark)."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    query_name: str = "sessions",
+):
+    """Streaming sessionization: session_window + watermark, append mode."""
+    ev = (
+        spark.readStream.schema(schema).format("parquet").load(parquet_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 3).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
