@@ -537,3 +537,107 @@ def shortest_path(
     return PathResult(
         rows[tid]["dist"] + delta, nodes, source_offset, target_offset
     ).round(scale)
+
+
+def shortest_paths_pairs(
+    graph: SparkDiGraph,
+    pairs: Sequence[tuple],
+    sinks: Optional[Sequence[str]] = None,
+) -> dict[int, Optional[PathResult]]:
+    """Batched point-to-point queries: ONE kernel run advances every pair.
+
+    ``pairs``: [(source, target, cutoff, source_offset?, target_offset?)]
+    -> {index: PathResult|None}, each entry exactly equal to the
+    corresponding single ``shortest_path`` call. This is the
+    scale-intended API (the single-pair wrapper exists for reference
+    parity): seeds for all queries are built with one edges join, the
+    label-correcting kernel relaxes all qids together, and backtraces run
+    as one batched iterative join.
+    """
+    lm = graph.lengths_map
+    nm = graph.names_map
+    scale = graph.scale
+    results: dict[int, Optional[PathResult]] = {}
+    live: list[tuple[int, int, int, float, float]] = []  # qid, sid, tid, inner_cutoff, delta
+    meta: dict[int, tuple] = {}
+    sink_ids = {graph.node_id(s) for s in (sinks or [])} - {None}
+
+    for qid, p in enumerate(pairs):
+        source, target, cutoff = p[0], p[1], p[2]
+        source_offset = p[3] if len(p) > 3 else None
+        target_offset = p[4] if len(p) > 4 else None
+        results[qid] = None
+        if cutoff < 0:
+            continue
+        sid, tid = graph.node_id(source), graph.node_id(target)
+        if sid is None or tid is None or sid not in lm or tid not in lm:
+            continue
+        if source_offset is not None:
+            source_offset = clip(0.0, source_offset, lm[sid])
+        if target_offset is not None:
+            target_offset = clip(0.0, target_offset, lm[tid])
+        if sid == tid:
+            if source_offset is None and target_offset is None:
+                results[qid] = PathResult(0.0, [nm[sid]]).round(scale)
+            elif source_offset is not None and target_offset is not None:
+                dist = target_offset - source_offset
+                if 0 <= dist <= cutoff:
+                    results[qid] = PathResult(
+                        dist, [nm[sid]], source_offset, target_offset
+                    ).round(scale)
+            continue
+        if sid in sink_ids:
+            continue
+        delta = 0.0
+        if source_offset is not None:
+            delta += lm[sid] - source_offset
+        if target_offset is not None:
+            delta += target_offset
+        live.append((qid, sid, tid, float(cutoff - delta), delta))
+        meta[qid] = (source_offset, target_offset)
+
+    if not live:
+        return results
+    spark = graph.spark
+    qdf = spark.createDataFrame(
+        live, "qid long, sid long, tid long, cutoff double, delta double"
+    )
+    # seeds: successors of each query's source (cutoff-exempt, dist 0)
+    seeds = (
+        qdf.join(graph.edges_w, qdf["sid"] == graph.edges_w["src"])
+        .select(
+            "qid",
+            graph.edges_w["dst"].alias("node"),
+            F.lit(0.0).alias("dist"),
+            qdf["sid"].alias("prev"),
+            F.lit(NEG_INF).alias("prev_dist"),
+        )
+    )
+    cutoffs = qdf.select("qid", "cutoff")
+    sinks_df = None
+    if sink_ids:
+        sinks_df = qdf.select("qid").crossJoin(
+            spark.createDataFrame([(s,) for s in sink_ids], "node long")
+        )
+    state = bounded_sssp(spark, graph.edges_w, seeds, cutoffs, sinks_df)
+    hits = state.join(
+        F.broadcast(qdf.select("qid", F.col("tid").alias("node"))), ["qid", "node"]
+    ).select("qid", "dist")
+    hit_rows = {r["qid"]: r["dist"] for r in hits.collect()}
+    if not hit_rows:
+        return results
+    ends = spark.createDataFrame(
+        [(q, t) for q, s, t, c, d in live if q in hit_rows], "qid long, node long"
+    )
+    sources = qdf.select("qid", F.col("sid").alias("start"))
+    chains = backtrace(state, ends, sources)
+    chain_rows = {r["qid"]: list(r["chain"]) for r in chains.collect()}
+    delta_of = {q: d for q, s, t, c, d in live}
+    for qid, dist in hit_rows.items():
+        chain = chain_rows.get(qid)
+        if not chain:
+            continue
+        so, to = meta[qid]
+        nodes = [nm[i] for i in reversed(chain)]
+        results[qid] = PathResult(dist + delta_of[qid], nodes, so, to).round(scale)
+    return results
