@@ -24,7 +24,7 @@ dists AND prevs match the plain kernel exactly (tested).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
