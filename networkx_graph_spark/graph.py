@@ -291,6 +291,21 @@ class SparkDiGraph:
             .distinct()
         )
 
+    def nodes_map(self) -> dict[str, dict]:
+        """String-keyed node view, reference `G.nodes` parity
+        (/root/reference/src/main.cpp:418-421). Fixture-scale collect;
+        the DF-level view is `vertices`."""
+        return {
+            r["node"]: {"length": r["length"]} for r in self.vertices.collect()
+        }
+
+    def edges_map(self) -> dict[tuple[str, str], dict]:
+        """String-keyed edge view (/root/reference/src/main.cpp:422-426)."""
+        nm = self.names_map
+        return {
+            (nm[r["src"]], nm[r["dst"]]): {} for r in self.edges.collect()
+        }
+
     # -------------------------------------------------------- persistence
     def save(self, path: str) -> None:
         """Persist as a parquet layout: {path}/vertices, {path}/edges,

@@ -97,3 +97,25 @@ def test_edges_w(graph1):
     rev = {(r["src"], r["dst"]): r["weight"] for r in graph1.edges_w_rev.collect()}
     assert rev[(2, 1)] == 15.0  # reverse: weight = length of reverse-walk origin
     assert rev[(7, 6)] == 10.0
+
+
+def test_nodes_edges_views(graph1):
+    nodes = graph1.nodes_map()
+    assert nodes["w3"]["length"] == 10.0 and len(nodes) == 7
+    edges = graph1.edges_map()
+    assert ("w1", "w2") in edges and len(edges) == 7
+
+
+def test_graph_save_load(graph1, spark, tmp_path):
+    from networkx_graph_spark.graph import SparkDiGraph
+
+    p = str(tmp_path / "g1")
+    graph1.save(p)
+    g2 = SparkDiGraph.load(spark, p)
+    assert g2.round_n == 3
+    assert g2.vertices.count() == 7 and g2.edges.count() == 7
+    from networkx_graph_spark.operators.sssp import shortest_path
+
+    path = shortest_path(g2, "w1", "w7", cutoff=30.0)
+    assert path.nodes == ["w1", "w2", "w5", "w7"]
+    g2.unpersist()
