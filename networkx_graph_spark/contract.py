@@ -249,6 +249,50 @@ WHERE node <> source GROUP BY source, node
 """.format(tri=TRI_EDGES_SQL)
 
 
+GEO_EDGES_SQL = """
+  SELECT 100 + n_nationkey AS src, n_regionkey AS dst FROM nation
+  UNION
+  SELECT 1000 + s_suppkey AS src, 100 + s_nationkey AS dst FROM supplier
+"""
+
+
+def q_cc_full_geo(spark, sf_dir):
+    """Connected components run to FULL convergence (two-phase star
+    algorithm) on the supplier->nation->region containment graph — small
+    enough that the DuckDB oracle can take the recursive transitive
+    closure."""
+    from .kernels.components import connected_components
+
+    nation = _read(spark, sf_dir, "nation")
+    supplier = _read(spark, sf_dir, "supplier")
+    e = (
+        nation.select(
+            (F.lit(100) + F.col("n_nationkey")).cast("long").alias("src"),
+            F.col("n_regionkey").cast("long").alias("dst"),
+        )
+        .unionByName(
+            supplier.select(
+                (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("src"),
+                (F.lit(100) + F.col("s_nationkey")).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    return connected_components(e, algorithm="twophase").state
+
+
+SQL_CC_FULL_GEO = f"""
+WITH RECURSIVE edges AS ({GEO_EDGES_SQL}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+)
+SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
+
+
 # --------------------------------------------------- reference goldens
 def _graph1(spark):
     from .graph import SparkDiGraph
@@ -727,6 +771,7 @@ def build_queries() -> dict:
     return {
         "degrees": q_degrees,
         "cc_hashmin_k4": q_cc_hashmin_k,
+        "cc_full_geo": q_cc_full_geo,
         "pagerank_5iter": q_pagerank_fixed,
         "triangle_count": q_triangle_count,
         "sssp_dag": q_sssp_dag,
@@ -763,6 +808,7 @@ def build_oracles() -> dict:
     return {
         "degrees": SQL_DEGREES,
         "cc_hashmin_k4": _sql_cc_hashmin(),
+        "cc_full_geo": SQL_CC_FULL_GEO,
         "pagerank_5iter": _sql_pagerank(),
         "triangle_count": SQL_TRIANGLES,
         "sssp_dag": SQL_SSSP_DAG,
