@@ -223,6 +223,33 @@ SELECT node, min(dist) AS dist FROM walk GROUP BY node
 """.format(tri=TRI_EDGES_SQL)
 
 
+def q_sssp_csr_dag(spark, sf_dir):
+    """Same query as sssp_dag but through the CSR-blocked block-centric
+    kernel — both must match the recursive-CTE oracle."""
+    from .graph import SparkDiGraph
+    from .operators.sssp import NEG_INF
+    from .operators.sssp_csr import bounded_sssp_csr
+
+    e = tri_edges(spark, sf_dir)
+    g = SparkDiGraph.from_edge_df(spark, e)
+    src = _read(spark, sf_dir, "orders").agg(F.min("o_custkey")).collect()[0][0]
+    seeds = (
+        g.edges_w.filter(F.col("src") == int(src))
+        .select(
+            F.lit(0).cast("long").alias("qid"),
+            F.col("dst").alias("node"),
+            F.lit(0.0).alias("dist"),
+            F.col("src").alias("prev"),
+            F.lit(NEG_INF).alias("prev_dist"),
+        )
+    )
+    state = bounded_sssp_csr(spark, g.edges_w, seeds, 1.5, num_blocks=8)
+    out = state.filter(F.col("node") != int(src)).select("node", "dist")
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    return out
+
+
 def q_ubodt_dag(spark, sf_dir):
     """Bounded all-pairs (cost columns) over the tripartite DAG, thresh 1.5."""
     from .graph import SparkDiGraph
@@ -775,6 +802,7 @@ def build_queries() -> dict:
         "pagerank_5iter": q_pagerank_fixed,
         "triangle_count": q_triangle_count,
         "sssp_dag": q_sssp_dag,
+        "sssp_csr_dag": q_sssp_csr_dag,
         "ubodt_dag": q_ubodt_dag,
         "ref_sssp_graph1": q_ref_sssp,
         "ref_ubodt_graph1": q_ref_ubodt,
@@ -812,6 +840,7 @@ def build_oracles() -> dict:
         "pagerank_5iter": _sql_pagerank(),
         "triangle_count": SQL_TRIANGLES,
         "sssp_dag": SQL_SSSP_DAG,
+        "sssp_csr_dag": SQL_SSSP_DAG,
         "ubodt_dag": SQL_UBODT_DAG,
         "ref_sssp_graph1": SQL_REF_SSSP,
         "ref_ubodt_graph1": SQL_REF_UBODT,
