@@ -764,11 +764,50 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(emb, queries, dim=dim, k=5, num_planes=4)
 
 
+N_CONTRACT_MEDIA = 48
+MEDIA_FEATURE_DIM = 8
+
+
 def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: synth media (binary payload + typed
+    meta) -> Arrow mapInPandas feature extraction -> canonicalizable
+    exploded shape (media_id, kind, dim_idx, value)."""
     from .functions.multimodal import extract_features, synth_media
 
-    media = synth_media(spark, 48)
-    return extract_features(media, fake=True, feature_dim=8)
+    media = synth_media(spark, N_CONTRACT_MEDIA)
+    feats = extract_features(media, fake=True, feature_dim=MEDIA_FEATURE_DIM)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.posexplode("features").alias("dim_idx", "_v"),
+    ).select("media_id", "kind", "dim_idx", F.round("_v", 6).alias("value"))
+
+
+def _sql_media_features() -> str:
+    """Independent pure-Python replay of the deterministic fake decode
+    (functions/multimodal.py synth_media + extract_features), emitted as a
+    VALUES oracle."""
+    import hashlib
+    import math
+
+    rows = []
+    for i in range(N_CONTRACT_MEDIA):
+        h = hashlib.blake2b(f"42|{i}".encode(), digest_size=32).digest()
+        kind = ["image", "audio", "video"][i % 3]
+        payload = (h * ((64 + i % 128) // 32 + 1))[: 64 + i % 128]
+        d = hashlib.blake2b(payload, digest_size=MEDIA_FEATURE_DIM * 4).digest()
+        v = [
+            float(int.from_bytes(d[4 * j : 4 * j + 4], "little"))
+            for j in range(MEDIA_FEATURE_DIM)
+        ]
+        norm = math.sqrt(sum(x * x for x in v))
+        for j, x in enumerate(v):
+            rows.append((i, kind, j, round(x / norm, 6)))
+    values = ",\n ".join(f"({m}, '{k}', {j}, {val!r})" for m, k, j, val in rows)
+    return (
+        f"SELECT media_id, kind, dim_idx, CAST(value AS DOUBLE) AS value "
+        f"FROM (VALUES\n {values}\n) AS t(media_id, kind, dim_idx, value)"
+    )
 
 
 def q_zigzag_dag(spark, sf_dir):
@@ -858,6 +897,7 @@ def build_oracles() -> dict:
         "sessions": SQL_SESSIONS,
         "revenue_agg": SQL_REVENUE_AGG,
         "top_customers": SQL_TOP_CUSTOMERS,
+        "media_features": _sql_media_features(),
     }
 
 
