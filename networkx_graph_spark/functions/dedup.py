@@ -171,42 +171,41 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash BIGINT): 64-bit SimHash via one Arrow-vectorized numpy
-    pass (bit-majority over token hashes)."""
-    import numpy as np
+    """(id, simhash BIGINT): 64-bit SimHash, fully JVM-side — explode
+    tokens → ``xxhash64(token)`` → per-bit majority vote (64 map-side
+    partial SUM aggregations in one groupBy), signed-long reassembly
+    (bit 63 contributes −2^63). No Python in the per-token path; docs with
+    no tokens get signature 0."""
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    h = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per = h.groupBy("id").agg(*aggs)
+    # bit i set iff 2 * ones_count >= n_tokens
+    sig = None
+    for i in range(64):
+        weight = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+        term = F.when(F.col(f"b{i}") * 2 >= F.col("n"), weight).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    per = per.select("id", sig.cast("long").alias("simhash"))
+    return all_ids.join(per, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash")
+    )
 
-    def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                toks = [t for t in (text or "").lower().split() if t]
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.array(
-                    [
-                        int.from_bytes(
-                            __import__("hashlib").blake2b(
-                                t.encode(), digest_size=8
-                            ).digest(),
-                            "big",
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
-                maj = (bits.sum(axis=0) * 2 >= len(hs)).astype(np.uint64)
-                val = 0
-                for i in range(64):
-                    if maj[i]:
-                        val |= 1 << i
-                out.append(val - (1 << 64) if val >= (1 << 63) else val)
-            yield pd.DataFrame({"id": pdf[id_col], "simhash": pd.array(out, dtype="int64")})
 
-    return docs.select(id_col, text_col).mapInPandas(_sim, schema="id long, simhash long")
+def _block_bounds(num_blocks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``num_blocks`` contiguous (start, width) blocks."""
+    base, rem = divmod(64, num_blocks)
+    out, start = [], 0
+    for i in range(num_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
 
 
 def simhash_pairs(
@@ -216,11 +215,16 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """(a, b, hamming): pairs within Hamming distance ``max_hamming``.
-    Candidate generation: split the 64-bit signature into 4 16-bit blocks;
-    by pigeonhole, distance ≤ 3 implies at least one equal block, so an
-    equi-join per block finds all such pairs without a cross product."""
+    Candidate generation: split the 64-bit signature into ``max_hamming+1``
+    blocks — by pigeonhole, distance ≤ max_hamming implies at least one
+    equal block, so an equi-join per block finds ALL such pairs without a
+    cross product (complete for any max_hamming ≤ 63)."""
+    num_blocks = max_hamming + 1
+    if num_blocks > 64:
+        raise ValueError("max_hamming must be <= 63")
     sigs = simhash_signatures(docs, id_col, text_col).persist()
     sigs.count()
+    bounds = _block_bounds(num_blocks)
     blocks = sigs.select(
         "id",
         "simhash",
@@ -229,11 +233,15 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
+                        (
+                            F.col("simhash")
+                            if w == 64
+                            else F.shiftrightunsigned("simhash", s).bitwiseAND(
+                                F.lit((1 << w) - 1)
+                            )
+                        ).alias("val"),
                     )
-                    for i in range(4)
+                    for i, (s, w) in enumerate(bounds)
                 ]
             )
         ).alias("bb"),

@@ -219,3 +219,44 @@ def test_streaming_windowed_counts(spark, tmp_path):
     }
     q.stop()
     assert stream == batch
+
+
+def test_simhash_vectorized_completeness(spark):
+    """The blocked candidate join must find EVERY pair within max_hamming
+    (pigeonhole over max_hamming+1 blocks), and the signature plan must be
+    fully JVM-side (no Arrow/Python nodes)."""
+    from pyspark.sql import functions as F
+
+    from networkx_graph_spark.functions.dedup import simhash_pairs, simhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = simhash_signatures(docs)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        k in plan for k in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas")
+    )
+    sigs = sigs.persist()
+    a = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+    want = sorted(tuple(r) for r in brute.collect())
+    got = sorted(tuple(r) for r in simhash_pairs(docs, max_hamming=6).collect())
+    sigs.unpersist()
+    assert want == got and len(got) > 0
+
+
+def test_simhash_empty_docs(spark):
+    from networkx_graph_spark.functions.dedup import simhash_signatures
+
+    d = spark.createDataFrame(
+        [(1, "hello world hello"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r["id"]: r["simhash"] for r in simhash_signatures(d).collect()}
+    assert got[2] == 0 and got[3] == 0 and got[1] != 0
