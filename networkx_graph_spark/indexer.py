@@ -108,54 +108,108 @@ class Indexer:
         return dict(self._str2int)
 
 
-def build_ids(nodes: DataFrame, node_col: str = "node", order_col: str | None = None) -> DataFrame:
+_TAKEN_CAP = 10_000
+
+
+def build_ids(
+    nodes: DataFrame,
+    node_col: str = "node",
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Distributed bulk id assignment: ``(node STRING) -> (node, id BIGINT)``.
 
     Same visible rule as the reference cursor/parse behavior, made
     deterministic for bulk (unordered) input: direct parses win their int;
     among strings parsing to the same int the first in ``order_col`` order
     wins; everything else gets dense ids ``1_000_000 + rank`` in
-    ``order_col`` order. (At web scale nothing parses, so this is a single
-    sort + row_number job; parquet-friendly dense longs.)
+    ``(order_col, node_col)`` order.
 
-    The rare case of direct-parsed ints landing inside the cursor range is
-    handled exactly: cursor ids skip taken slots.
+    Scale shape (no global window — the web-scale case is 10^12 URLs, none
+    of which parse): the direct-parse winner window partitions BY THE
+    PARSED INT (groups = strings sharing one int, tiny); the dense cursor
+    assignment is a two-phase global rank — range-partition on the sort
+    key, per-partition local ``row_number`` (parallel), per-partition
+    counts collected once (one row per partition) and turned into
+    broadcast offsets. The full node set never passes through one task,
+    and ids are partition-count-invariant because they equal the global
+    (order, node) sort rank.
+
+    Direct-parsed ints ≥ 1e6 occupy cursor slots; dense ids skip them via
+    the closed form ``shift(rank) = #{i : taken_sorted[i] - i <= rank}``
+    (taken_sorted strictly increasing ⇒ the u_i are nondecreasing, so one
+    JVM array-filter per row). Such collisions are pathological at web
+    scale — capped at ``_TAKEN_CAP`` with a hard error, never silent.
     """
+    spark = nodes.sparkSession
     if order_col is None:
         order_col = node_col
-    n = nodes.select(node_col).distinct()
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if order_col == node_col:
+        n = nodes.select(node_col).distinct()
+    else:
+        n = nodes.groupBy(node_col).agg(F.min(order_col).alias(order_col))
     body = F.when(
         F.col(node_col).startswith("w"), F.expr(f"substring({node_col}, 2)")
     ).otherwise(F.col(node_col))
     parsed = F.regexp_extract(F.ltrim(body), r"^([+-]?[0-9]+)", 1)
     n = n.withColumn("_parsed", F.when(parsed != "", parsed.cast("long")))
-    w = Window.partitionBy("_parsed").orderBy(order_col)
-    n = n.withColumn(
-        "_direct",
-        F.when(F.col("_parsed").isNotNull() & (F.row_number().over(w) == 1), F.col("_parsed")),
+    # winner-per-int window: partitions are the (tiny) groups of strings
+    # that parse to the SAME int — NULL (unparsed) rows skip the window
+    parsed_rows = n.filter(F.col("_parsed").isNotNull())
+    wp = Window.partitionBy("_parsed").orderBy(order_col, node_col)
+    parsed_rows = parsed_rows.withColumn("_rn", F.row_number().over(wp))
+    direct = parsed_rows.filter(F.col("_rn") == 1).select(
+        node_col, F.col("_parsed").alias("id")
     )
-    fallback = n.filter(F.col("_direct").isNull())
-    direct = n.filter(F.col("_direct").isNotNull()).select(
-        node_col, F.col("_direct").alias("id")
+    sort_cols = [node_col] if order_col == node_col else [order_col, node_col]
+    keep = [node_col] if order_col == node_col else [node_col, order_col]
+    fallback = (
+        n.filter(F.col("_parsed").isNull())
+        .select(*keep)
+        .unionByName(parsed_rows.filter(F.col("_rn") > 1).select(*keep))
     )
-    # dense cursor assignment; skip slots already taken by direct parses
-    taken = [
+    # ---- two-phase parallel dense rank over the sort key ----
+    # localCheckpoint pins the range partitioning so the counts job and the
+    # rank job see identical _pid assignments (single evaluation)
+    fb = (
+        fallback.repartitionByRange(num_partitions, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {r["_pid"]: r["cnt"] for r in fb.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)], "_pid int, _off long"
+    )
+    wl = Window.partitionBy("_pid").orderBy(*sort_cols)
+    ranked = (
+        fb.withColumn("_lrn", F.row_number().over(wl))
+        .join(F.broadcast(off_df), "_pid")
+        .select(node_col, (F.col("_off") + F.col("_lrn") - 1).alias("_rank"))
+    )
+    # ---- cursor slots already taken by direct parses ----
+    taken = sorted(
         r[0]
         for r in direct.filter(F.col("id") >= _CURSOR0)
         .select("id")
-        .orderBy("id")
-        .limit(100_000)
+        .limit(_TAKEN_CAP + 1)
         .collect()
-    ]
-    wf = Window.orderBy(order_col)
-    fb = fallback.select(node_col, (F.row_number().over(wf) - 1).alias("_rank"))
+    )
+    if len(taken) > _TAKEN_CAP:
+        raise RuntimeError(
+            f"more than {_TAKEN_CAP} direct-parsed ids >= {_CURSOR0}; "
+            "remap the cursor base instead of shifting around them"
+        )
+    base = F.col("_rank") + F.lit(_CURSOR0)
     if taken:
-        # map rank -> k-th free integer >= cursor0 (taken list is tiny: only
-        # direct parses >= 1e6; shift ranks past each taken slot)
-        expr = F.col("_rank") + F.lit(_CURSOR0)
-        for t in taken:
-            expr = F.when(expr >= F.lit(t), expr + 1).otherwise(expr)
-        fb = fb.select(node_col, expr.alias("id"))
+        u = [t - i for i, t in enumerate(taken)]  # nondecreasing thresholds
+        shift = F.size(F.filter(F.lit(u), lambda x: x <= base))
+        out_fb = ranked.select(node_col, (base + shift).alias("id"))
     else:
-        fb = fb.select(node_col, (F.col("_rank") + F.lit(_CURSOR0)).alias("id"))
-    return direct.unionByName(fb)
+        out_fb = ranked.select(node_col, base.alias("id"))
+    return direct.unionByName(out_fb)

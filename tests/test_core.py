@@ -119,3 +119,30 @@ def test_graph_save_load(graph1, spark, tmp_path):
     path = shortest_path(g2, "w1", "w7", cutoff=30.0)
     assert path.nodes == ["w1", "w2", "w5", "w7"]
     g2.unpersist()
+
+
+def test_build_ids_partition_invariant(spark):
+    """Dense ids equal the global sort rank: identical for ANY partition
+    count, and no single-partition global window in the plan."""
+    rows = [(f"url://{i:04d}/page",) for i in range(500)] + [("w7",), ("42",)]
+    df = spark.createDataFrame(rows, "node string")
+    a = {r["node"]: r["id"] for r in build_ids(df, num_partitions=1).collect()}
+    b = {r["node"]: r["id"] for r in build_ids(df, num_partitions=7).collect()}
+    c = {r["node"]: r["id"] for r in build_ids(df.repartition(13), num_partitions=4).collect()}
+    assert a == b == c
+    assert a["w7"] == 7 and a["42"] == 42
+    urls = sorted(k for k in a if k.startswith("url"))
+    assert [a[u] for u in urls] == list(range(1_000_000, 1_000_500))
+    plan = build_ids(df, num_partitions=7)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_build_ids_taken_slots(spark):
+    """Direct parses >= 1e6 occupy cursor slots; dense ids skip them via
+    the closed-form shift (no silent collisions)."""
+    rows = [("1000000",), ("1000002",), ("a",), ("b",), ("c",), ("d",)]
+    df = spark.createDataFrame(rows, "node string")
+    got = {r["node"]: r["id"] for r in build_ids(df).collect()}
+    assert got["1000000"] == 1_000_000 and got["1000002"] == 1_000_002
+    assert [got[k] for k in "abcd"] == [1_000_001, 1_000_003, 1_000_004, 1_000_005]
+    assert len(set(got.values())) == len(got)
