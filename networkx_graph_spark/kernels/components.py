@@ -176,13 +176,26 @@ def _cc_twophase(edges, max_iter, runner, name, resume, num_partitions):
         )
 
     mat2 = Materializer()
+    # convergence = the edge SET stopped changing. Instead of two anti-join
+    # count() jobs per superstep, observe an order-insensitive set signature
+    # (count + sum of xxhash64(u, v)) ON the materialize action and compare
+    # driver-side — one Spark job per superstep (same trick as PageRank's
+    # Observation metrics).
+    prev_sig: list = [None]
 
     def step(state: DataFrame, i: int):
-        new_state = mat2.materialize(small_star(large_star(state)), free_prev=False)
-        changed = (
-            new_state.join(state, ["u", "v"], "left_anti").count()
-            + state.join(new_state, ["u", "v"], "left_anti").count()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_state = small_star(large_star(state)).observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
         )
+        new_state = mat2.materialize(new_state)
+        sig = (obs.get["cnt"], obs.get["chk"])
+        changed = 0 if sig == prev_sig[0] else 1
+        prev_sig[0] = sig
         return new_state, {"changed": changed, "_checkpointed": True}
 
     result = runner.run(
