@@ -66,16 +66,20 @@ def encode_endpoints(
 
 
 def heuristic(ep: Endpoints, node: int, target: int) -> float:
-    """h(node) = scaled straight-line distance from node's head to the
-    target's head; 0 when either endpoint is unknown (admissible)."""
+    """h(node): reference-exact geometry
+    (/root/reference/src/main.cpp:1262-1279) — distance from the node's
+    TAIL point (``std::get<1>``) to the target's HEAD point
+    (``std::get<0>``), cheap-ruler scale factors evaluated at the TARGET
+    head's latitude. 0 when either endpoint is unknown (admissible
+    fallback; the reference would throw on a missing endpoint)."""
     a = ep.endpoints.get(node)
     b = ep.endpoints.get(target)
     if a is None or b is None:
         return 0.0
-    (ax, ay, az), _ = a
-    (bx, by, bz), _ = b
-    dx, dy, dz = ax - bx, ay - by, az - bz
+    _, (cx, cy, cz) = a  # CUR = node tail
+    (ex, ey, ez), _ = b  # END = target head
+    dx, dy, dz = ex - cx, ey - cy, ez - cz
     if ep.is_wgs84:
-        kx, ky = cheap_ruler_k((ay + by) / 2.0)
+        kx, ky = cheap_ruler_k(ey)
         dx, dy = dx * kx, dy * ky
     return math.sqrt(dx * dx + dy * dy + dz * dz)

@@ -178,3 +178,27 @@ def test_scalar_smoke():
 
     assert add(1, 2) == 3
     assert subtract(1, 2) == -1
+
+
+def test_astar_heuristic_reference_geometry(graph1):
+    """h() must measure node-TAIL -> target-HEAD with cheap-ruler factors
+    at the TARGET head's latitude (/root/reference/src/main.cpp:1262-1279)."""
+    import math
+
+    from networkx_graph_spark.operators.astar import (
+        Endpoints,
+        cheap_ruler_k,
+        heuristic,
+    )
+
+    ep = Endpoints(
+        {
+            1: ((0.0, 0.0, 0.0), (1.0, 2.0, 5.0)),  # node: head, TAIL
+            7: ((3.0, 4.0, 7.0), (9.0, 9.0, 9.0)),  # target: HEAD, tail
+        },
+        is_wgs84=True,
+    )
+    kx, ky = cheap_ruler_k(4.0)  # target head latitude
+    want = math.sqrt(((3.0 - 1.0) * kx) ** 2 + ((4.0 - 2.0) * ky) ** 2 + (7.0 - 5.0) ** 2)
+    assert heuristic(ep, 1, 7) == want
+    assert heuristic(ep, 1, 99) == 0.0  # unknown endpoint -> admissible 0
