@@ -834,6 +834,14 @@ def q_zigzag_dag(spark, sf_dir):
 
 
 def build_queries() -> dict:
+    from .contract_ref import ref_queries
+
+    out = ref_queries()
+    out.update(_base_queries())
+    return out
+
+
+def _base_queries() -> dict:
     return {
         "degrees": q_degrees,
         "cc_hashmin_k4": q_cc_hashmin_k,
@@ -872,6 +880,14 @@ def build_queries() -> dict:
 
 
 def build_oracles() -> dict:
+    from .contract_ref import ref_oracles
+
+    out = ref_oracles()
+    out.update(_base_oracles())
+    return out
+
+
+def _base_oracles() -> dict:
     return {
         "degrees": SQL_DEGREES,
         "cc_hashmin_k4": _sql_cc_hashmin(),

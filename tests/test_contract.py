@@ -39,9 +39,16 @@ def _canon(v):
     return v
 
 
+def _null_safe_key(row):
+    # None is not orderable against floats/strings; (is_none, value) is
+    return tuple((v is None, 0 if v is None else v) for v in row)
+
+
 def _spark_rows(df):
     cols = sorted(df.columns)
-    return sorted(tuple(_canon(r[c]) for c in cols) for r in df.collect())
+    return sorted(
+        (tuple(_canon(r[c]) for c in cols) for r in df.collect()), key=_null_safe_key
+    )
 
 
 def _duck_rows(con, sql):
@@ -49,7 +56,9 @@ def _duck_rows(con, sql):
     names = [d[0] for d in res.description]
     rows = res.fetchall()
     order = sorted(range(len(names)), key=lambda i: names[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=_null_safe_key
+    )
 
 
 ORACLES = entry_mod.oracle_sql()
