@@ -146,7 +146,7 @@ def _sql_pagerank() -> str:
     prev = "r0"
     for i in range(1, PR_ITERS + 1):
         steps.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT coalesce(sum(r.rank), 0) AS dm FROM {prev} r LEFT JOIN deg ON deg.id = r.id WHERE deg.id IS NULL),
 c{i} AS (
   SELECT e.dst AS id, sum(r.rank / deg.od) AS contrib
@@ -723,6 +723,133 @@ FROM ranked JOIN customer ON c_custkey = custkey WHERE rank <= 10
 """
 
 
+# -------------------------------------------- generated-SQL oracles
+LPA_ITERS = 5
+
+
+def _sql_lpa() -> str:
+    """Fixed-round synchronous LPA: per round each vertex adopts the most
+    frequent neighbor label (ties -> smallest); rounds beyond convergence
+    are no-ops, so LPA_ITERS rounds == the kernel's early-stopped state."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT id, l AS new_label FROM (
+    SELECT s.dst AS id, r.label AS l, count(*) AS cnt,
+           row_number() OVER (PARTITION BY s.dst
+                              ORDER BY count(*) DESC, r.label ASC) AS rk
+    FROM sym s JOIN {prev} r ON r.id = s.src
+    GROUP BY s.dst, r.label
+  ) WHERE rk = 1),
+r{i} AS MATERIALIZED (
+  SELECT r.id, coalesce(w.new_label, r.label) AS label
+  FROM {prev} r LEFT JOIN w{i} w ON w.id = r.id)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH edges AS ({TRI_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+r0 AS (SELECT id, id AS label FROM verts),
+{','.join(rounds)}
+SELECT id, label FROM {prev}
+"""
+
+
+CC_SHORTCUT_ROUNDS = 8
+
+
+def _sql_cc_converged(rounds: int = CC_SHORTCUT_ROUNDS) -> str:
+    """Full-convergence CC oracle: hash-min + pointer-jump shortcut
+    (label <- min(label, label(label))) per round — O(log diameter)
+    rounds, so ``rounds`` generations reach the fixpoint on any graph of
+    diameter < ~2^rounds. Independent of the two-phase star algorithm the
+    Spark side runs; both must produce component = min reachable id."""
+    steps = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""n{i} AS MATERIALIZED (
+  SELECT r.id, least(r.label, coalesce(min(rn.label), r.label)) AS label
+  FROM {prev} r
+  LEFT JOIN sym s ON s.dst = r.id
+  LEFT JOIN {prev} rn ON rn.id = s.src
+  GROUP BY r.id, r.label),
+r{i} AS MATERIALIZED (
+  SELECT n.id, least(n.label, p.label) AS label
+  FROM n{i} n JOIN n{i} p ON p.id = n.label)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH edges AS ({TRI_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+r0 AS (SELECT id, id AS label FROM verts),
+{','.join(steps)}
+SELECT id, label AS component FROM {prev}
+"""
+
+
+ZZ_DAG_ROUNDS = 28
+ZZ_DAG_CUTOFF = 2.5
+
+
+def _sql_zigzag_dag(rounds: int = ZZ_DAG_ROUNDS) -> str:
+    """Independent zigzag oracle: the doubled-state transition system
+    (forward/backward moves, sibling transfers, length-cost flips with
+    seed-flip exclusion) built in plain SQL, then ``rounds`` generations of
+    sparse Bellman-Ford min-relaxation under the cutoff — enough rounds to
+    pass the state graph's hop diameter; extra rounds are idempotent."""
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT se.b AS node, d.dist + se.w AS dist
+    FROM {prev} d JOIN se ON se.a = d.node
+    WHERE d.dist + se.w <= {ZZ_DAG_CUTOFF}
+  ) GROUP BY node)"""
+        )
+        prev = f"d{i}"
+    return f"""
+WITH tri AS ({TRI_EDGES_SQL}),
+orders_e AS (SELECT src, dst FROM tri WHERE src < 20),
+parts_e AS (SELECT t.src, t.dst FROM tri t WHERE t.src IN (SELECT dst FROM orders_e)),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT * FROM orders_e UNION ALL SELECT * FROM parts_e)),
+srcv AS (SELECT min(src) AS s FROM orders_e),
+sib_p AS (SELECT DISTINCT e1.src AS x, e2.src AS y
+          FROM e e1 JOIN e e2 ON e1.dst = e2.dst WHERE e1.src <> e2.src),
+sib_n AS (SELECT DISTINCT e1.dst AS x, e2.dst AS y
+          FROM e e1 JOIN e e2 ON e1.src = e2.src WHERE e1.dst <> e2.dst),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+seeds AS (SELECT s * 2 + 1 AS st FROM srcv UNION ALL SELECT s * 2 FROM srcv),
+se AS MATERIALIZED (
+  SELECT src * 2 + 1 AS a, dst * 2 AS b, 0.0 AS w FROM e
+  UNION ALL SELECT dst * 2, src * 2 + 1, 0.0 FROM e
+  UNION ALL SELECT x * 2 + 1, y * 2 + 1, 0.0 FROM sib_p
+  UNION ALL SELECT x * 2, y * 2, 0.0 FROM sib_n
+  UNION ALL SELECT v * 2, v * 2 + 1, 1.0 FROM verts
+            WHERE v * 2 NOT IN (SELECT st FROM seeds)
+  UNION ALL SELECT v * 2 + 1, v * 2, 1.0 FROM verts
+            WHERE v * 2 + 1 NOT IN (SELECT st FROM seeds)
+),
+d0 AS (SELECT st AS node, 0.0 AS dist FROM seeds),
+{','.join(steps)}
+SELECT CAST(node // 2 AS VARCHAR) AS node,
+       CASE WHEN node % 2 = 1 THEN 1 ELSE -1 END AS direction,
+       dist
+FROM {prev}
+"""
+
+
 # ------------------------------------------------ rows-only (no oracle)
 def q_cc_converged(spark, sf_dir):
     from .kernels.components import connected_components
@@ -742,7 +869,8 @@ def q_minhash_pairs(spark, sf_dir):
     from .functions.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.2)
+    out = minhash_lsh_pairs(docs, threshold=0.2)
+    return out.select("a", "b", F.round("jaccard_est", 6).alias("jaccard_est"))
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -761,7 +889,8 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
     )
-    return ann_topk_lsh(emb, queries, dim=dim, k=5, num_planes=4)
+    out = ann_topk_lsh(emb, queries, dim=dim, k=5, num_planes=4)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 N_CONTRACT_MEDIA = 48
@@ -867,8 +996,8 @@ def _base_queries() -> dict:
         "sessions": q_sessions,
         "revenue_agg": q_revenue_agg,
         "top_customers": q_top_customers,
-        # rows-only checks (non-SQL-expressible: hash functions, LSH
-        # signatures, fixpoint iteration counts)
+        # full-convergence / seeded-hash queries (oracled via generated
+        # fixed-round SQL or frozen VALUES goldens registered above)
         "cc_converged": q_cc_converged,
         "lpa_5iter": q_lpa,
         "minhash_lsh_pairs": q_minhash_pairs,
@@ -914,6 +1043,36 @@ def _base_oracles() -> dict:
         "revenue_agg": SQL_REVENUE_AGG,
         "top_customers": SQL_TOP_CUSTOMERS,
         "media_features": _sql_media_features(),
+        "lpa_5iter": _sql_lpa(),
+        "cc_converged": _sql_cc_converged(),
+        "zigzag_dag": _sql_zigzag_dag(),
+        **_seeded_goldens_oracles(),
+    }
+
+
+def _seeded_goldens_oracles() -> dict:
+    """VALUES oracles for the seeded hash functions (MinHash/SimHash/ANN):
+    pure deterministic functions of (seed, sf0.01 data), frozen by
+    tools/freeze_goldens.py into goldens_sf001.py. The driver contract runs
+    at sf=0.01 only (README/TESTDATA.md), which these literals pin."""
+    try:
+        from . import goldens_sf001 as G
+    except ImportError:
+        return {}
+    from .contract_ref import values_sql
+
+    return {
+        "minhash_lsh_pairs": values_sql(
+            G.MINHASH_PAIRS,
+            [("a", "BIGINT"), ("b", "BIGINT"), ("jaccard_est", "DOUBLE")],
+        ),
+        "simhash_pairs": values_sql(
+            G.SIMHASH_PAIRS, [("a", "BIGINT"), ("b", "BIGINT"), ("hamming", "INTEGER")]
+        ),
+        "ann_lsh_topk": values_sql(
+            G.ANN_TOPK,
+            [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
+        ),
     }
 
 
