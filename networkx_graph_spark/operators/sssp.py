@@ -74,6 +74,7 @@ def bounded_sssp(
     sinks: Optional[DataFrame] = None,
     max_iter: int = 10_000,
     payload_cols: Sequence[str] = (),
+    targets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Run the label-correcting relaxation to fixpoint.
 
@@ -85,6 +86,15 @@ def bounded_sssp(
     sinks   : (qid, node) or None — arrive-only barrier nodes (broadcast)
     payload_cols : extra seed columns carried along winning paths (e.g. the
         UBODT ``first_hop``); they ride behind the tie-break key.
+    targets : (qid, node) or None — p2p early termination
+        (/root/reference/src/main.cpp:1198-1200 stops when the target pops).
+        Once a query's target holds dist ``t``, frontier rows of that query
+        with ``dist > t`` are pruned: weights are non-negative, so they can
+        only produce labels ≥ their own dist — never a better target label,
+        and never a better label on the winning chain (whose prefixes all
+        sit strictly below ``t``). Rows at exactly ``t`` keep expanding so
+        the lexicographic (dist, prev_dist, prev) tie-break is unaffected.
+        Only the target's chain is guaranteed final — p2p callers only.
 
     Returns the converged state (qid, node, dist, prev, prev_dist [, payload]).
     """
@@ -92,6 +102,12 @@ def bounded_sssp(
     key = ["dist", "prev_dist", "prev", *pl]
     state = seeds.localCheckpoint(eager=True)
     frontier = state
+    tbest: dict[int, float] = {}
+    if targets is not None:
+        for r in state.join(F.broadcast(targets), ["qid", "node"]).groupBy(
+            "qid"
+        ).agg(F.min("dist").alias("d")).collect():
+            tbest[r["qid"]] = r["d"]
     for _ in range(max_iter):
         f = frontier
         if sinks is not None:
@@ -136,6 +152,20 @@ def bounded_sssp(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+        if targets is not None:
+            for r in improved.join(F.broadcast(targets), ["qid", "node"]).groupBy(
+                "qid"
+            ).agg(F.min("dist").alias("d")).collect():
+                q, d = r["qid"], r["d"]
+                if q not in tbest or d < tbest[q]:
+                    tbest[q] = d
+            if tbest:
+                tb = spark.createDataFrame(
+                    list(tbest.items()), "qid long, _tbest double"
+                )
+                frontier = frontier.join(F.broadcast(tb), "qid", "left").filter(
+                    F.col("_tbest").isNull() | (F.col("dist") <= F.col("_tbest"))
+                ).drop("_tbest")
     return state
 
 
@@ -521,7 +551,10 @@ def shortest_path(
         [(0, float(inner_cutoff))], "qid long, cutoff double"
     )
     sinks_df = _encode_sinks_df(graph, sinks)
-    state = bounded_sssp(spark, graph.edges_w, seeds, cutoffs, sinks_df)
+    targets_df = spark.createDataFrame([(0, tid)], "qid long, node long")
+    state = bounded_sssp(
+        spark, graph.edges_w, seeds, cutoffs, sinks_df, targets=targets_df
+    )
     rows = {r["node"]: r for r in state.collect()}
     if tid not in rows:
         return None
@@ -618,7 +651,14 @@ def shortest_paths_pairs(
         sinks_df = qdf.select("qid").crossJoin(
             spark.createDataFrame([(s,) for s in sink_ids], "node long")
         )
-    state = bounded_sssp(spark, graph.edges_w, seeds, cutoffs, sinks_df)
+    state = bounded_sssp(
+        spark,
+        graph.edges_w,
+        seeds,
+        cutoffs,
+        sinks_df,
+        targets=qdf.select("qid", F.col("tid").alias("node")),
+    )
     hits = state.join(
         F.broadcast(qdf.select("qid", F.col("tid").alias("node"))), ["qid", "node"]
     ).select("qid", "dist")

@@ -180,3 +180,27 @@ def test_dists_prevs_maps(graph1):
     assert prevs["w2"] == "w1" and prevs["w3"] == "w1"
     assert prevs["w4"] == "w3" and prevs["w5"] == "w2"
     assert prevs["w6"] == "w4" and prevs["w7"] == "w5"
+
+
+def test_p2p_early_termination_chain(spark):
+    """On a deep chain, p2p must stop once the target's distance is final
+    and still return the reference-exact path (the pruning threshold keeps
+    rows at dist == target_dist alive so tie-breaks are unaffected)."""
+    from networkx_graph_spark.graph import SparkDiGraph
+
+    n = 40
+    g = SparkDiGraph.from_lists(
+        spark,
+        [(str(i), 1.0) for i in range(n + 1)],
+        [(str(i), str(i + 1)) for i in range(n)],
+    )
+    p = shortest_path(g, "0", "5", cutoff=500.0)
+    assert p.nodes == ["0", "1", "2", "3", "4", "5"] and p.dist == 4.0
+    # batch API agrees (same kernel, per-qid pruning)
+    from networkx_graph_spark.operators.sssp import shortest_paths_pairs
+
+    got = shortest_paths_pairs(g, [("0", "5", 500.0), ("3", "10", 500.0), ("0", "99", 2.0)])
+    assert got[0].nodes == p.nodes and got[0].dist == 4.0
+    assert got[1].dist == 6.0 and len(got[1].nodes) == 8
+    assert got[2] is None  # cutoff-bounded miss
+    g.unpersist()
