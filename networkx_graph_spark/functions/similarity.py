@@ -132,17 +132,44 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     q_id_col: str = "qid",
     q_vec_col: str = "qvec",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine re-ranks. Fewer planes → bigger buckets → higher recall."""
+    cosine re-ranks. Fewer planes → bigger buckets → higher recall.
+
+    ``multi_probe=1`` also probes every bucket at Hamming distance 1 from
+    the query signature (the vector ALMOST on a hyperplane lands across it
+    half the time — flipping one sign bit recovers those misses). Probes
+    stay on the broadcast-tiny query side: num_planes+1 buckets per query;
+    the big side is still one bucket equi-join, never a cross product."""
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe supports 0 (exact bucket) or 1")
     sig_e = lsh_signatures(embeddings, dim, num_planes, seed, id_col, vec_col)
     sig_q = lsh_signatures(queries, dim, num_planes, seed, q_id_col, q_vec_col)
     e = embeddings.join(sig_e.withColumnRenamed("id", id_col), id_col)
     q = queries.join(sig_q.withColumnRenamed("id", q_id_col), q_id_col)
-    cand = e.join(
-        F.broadcast(q.withColumnRenamed("bucket", "qbucket")),
-        F.col("bucket") == F.col("qbucket"),
-    ).filter(F.col(q_id_col) != F.col(id_col))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.select(
+            q_id_col, q_vec_col, F.explode(probes).alias("qbucket")
+        )
+    else:
+        q = q.withColumnRenamed("bucket", "qbucket")
+    cand = (
+        e.join(F.broadcast(q.select(q_id_col, "qbucket")),
+               F.col("bucket") == F.col("qbucket"))
+        .filter(F.col(q_id_col) != F.col(id_col))
+        .select(q_id_col, id_col)
+        .distinct()
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
+    )
     cos = cosine_col(
         F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
     )

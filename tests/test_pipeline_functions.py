@@ -260,3 +260,36 @@ def test_simhash_empty_docs(spark):
     )
     got = {r["id"]: r["simhash"] for r in simhash_signatures(d).collect()}
     assert got[2] == 0 and got[3] == 0 and got[1] != 0
+
+
+def test_ann_multi_probe_recall(spark):
+    """Hamming-1 multi-probe must not lose candidates (superset of the
+    exact-bucket probe) and should raise recall vs the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from networkx_graph_spark.functions.similarity import ann_topk_lsh, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.head()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["qid"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(mp):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ann_topk_lsh(
+                emb, queries, dim=dim, k=5, num_planes=4, multi_probe=mp
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    # multi-probe candidates are a superset of the exact-bucket probe, so
+    # recall is monotone; absolute recall is data-dependent (these synth
+    # embeddings are near-random, the hardest case for LSH)
+    assert r1 >= r0
+    assert r1 > 0.0
