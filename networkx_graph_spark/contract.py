@@ -283,6 +283,29 @@ GEO_EDGES_SQL = """
 """
 
 
+def q_cc_blocked_geo(spark, sf_dir):
+    """Same containment graph, block-centric CC (CSR-kernel reuse) — must
+    match the identical recursive-closure oracle as the two-phase run."""
+    from .kernels.components import connected_components
+
+    nation = _read(spark, sf_dir, "nation")
+    supplier = _read(spark, sf_dir, "supplier")
+    e = (
+        nation.select(
+            (F.lit(100) + F.col("n_nationkey")).cast("long").alias("src"),
+            F.col("n_regionkey").cast("long").alias("dst"),
+        )
+        .unionByName(
+            supplier.select(
+                (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("src"),
+                (F.lit(100) + F.col("s_nationkey")).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    return connected_components(e, algorithm="blocked").state
+
+
 def q_cc_full_geo(spark, sf_dir):
     """Connected components run to FULL convergence (two-phase star
     algorithm) on the supplier->nation->region containment graph — small
@@ -975,6 +998,7 @@ def _base_queries() -> dict:
         "degrees": q_degrees,
         "cc_hashmin_k4": q_cc_hashmin_k,
         "cc_full_geo": q_cc_full_geo,
+        "cc_blocked_geo": q_cc_blocked_geo,
         "pagerank_5iter": q_pagerank_fixed,
         "triangle_count": q_triangle_count,
         "sssp_dag": q_sssp_dag,
@@ -1021,6 +1045,7 @@ def _base_oracles() -> dict:
         "degrees": SQL_DEGREES,
         "cc_hashmin_k4": _sql_cc_hashmin(),
         "cc_full_geo": SQL_CC_FULL_GEO,
+        "cc_blocked_geo": SQL_CC_FULL_GEO,
         "pagerank_5iter": _sql_pagerank(),
         "triangle_count": SQL_TRIANGLES,
         "sssp_dag": SQL_SSSP_DAG,

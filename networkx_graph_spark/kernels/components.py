@@ -50,7 +50,50 @@ def connected_components(
         return _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions)
     if algorithm == "twophase":
         return _cc_twophase(edges, max_iter, runner, name, resume, num_partitions)
+    if algorithm == "blocked":
+        return _cc_blocked(edges, max_iter, num_partitions)
     raise ValueError(f"unknown algorithm: {algorithm}")
+
+
+def _cc_blocked(edges, max_iter, num_partitions, block_width: int = 1024):
+    """Block-centric CC through the CSR kernel (operators/sssp_csr.py).
+
+    Hash-min label propagation IS a shortest-path relaxation: seed every
+    vertex with ``dist = float(id)``, give every (symmetric) edge weight
+    0, and the converged min-"dist" at each vertex is the minimum id
+    reachable — its component. The CSR kernel's block-local fixpoint then
+    collapses arbitrarily long intra-block chains into one superstep, so
+    global rounds ≈ block-boundary crossings instead of graph diameter
+    (the high-diameter lever; twophase remains the O(log n) default).
+    Float labels are exact: ids are integers < 2^53.
+    """
+    from ..operators.sssp_csr import NEG_INF, bounded_sssp_csr
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = _sym(edges)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.select(
+        F.lit(0).cast("long").alias("qid"),
+        F.col("id").alias("node"),
+        F.col("id").cast("double").alias("dist"),
+        F.col("id").alias("prev"),
+        F.lit(NEG_INF).alias("prev_dist"),
+    )
+    ew = sym.select("src", "dst", F.lit(0.0).alias("weight"))
+    state = bounded_sssp_csr(
+        spark, ew, seeds, cutoff=float("inf"),
+        num_blocks=num_partitions, block_width=block_width, max_iter=max_iter,
+    )
+    out = state.select(
+        F.col("node").alias("id"), F.col("dist").cast("long").alias("component")
+    )
+    return SuperstepResult(state=out, iterations=-1, converged=True, metrics=[])
 
 
 def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):

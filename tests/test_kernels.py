@@ -187,3 +187,27 @@ def test_pagerank_checkpoint_resume(spark, edges_df, tmp_path):
         assert abs(a[k] - b[k]) < 1e-12
     # metrics lineage was written
     assert os.path.exists(os.path.join(d, "pr", "metrics.jsonl"))
+
+
+def test_cc_blocked_matches_twophase(spark):
+    """Block-centric CC (CSR kernel reuse) must produce identical
+    components to the two-phase star algorithm, including on a
+    high-diameter chain where blocking collapses supersteps."""
+    from pyspark.sql import functions as F
+
+    from networkx_graph_spark.kernels.components import connected_components
+
+    # chain of 120 + a separate triangle + an isolated self-loop vertex
+    rows = [(i, i + 1) for i in range(120)]
+    rows += [(500, 501), (501, 502), (502, 500), (900, 900)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    blocked = {
+        r["id"]: r["component"]
+        for r in connected_components(e, algorithm="blocked").state.collect()
+    }
+    two = {
+        r["id"]: r["component"]
+        for r in connected_components(e, algorithm="twophase").state.collect()
+    }
+    assert blocked == two
+    assert blocked[120] == 0 and blocked[502] == 500 and blocked[900] == 900
