@@ -497,17 +497,13 @@ FROM documents
 
 
 def q_doc_dedup(spark, sf_dir):
+    """Exercise the real exact-dedup operator (xxhash64 fingerprint
+    groups); the oracle groups by the normalized text itself — identical
+    groups barring a 64-bit hash collision."""
+    from .functions.dedup import exact_duplicates
+
     docs = _read(spark, sf_dir, "documents")
-    norm = docs.select(
-        "doc_id",
-        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("nt"),
-    )
-    g = norm.groupBy("nt").agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
-    return (
-        norm.join(g.filter(F.col("n") > 1), "nt")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id", "keep_id")
-    )
+    return exact_duplicates(docs)
 
 
 SQL_DOC_DEDUP = """
@@ -577,6 +573,85 @@ JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
+
+
+TEXTF_STOPWORDS_SQL = "['the','of','and','to','a','in','is','it','you','that','he','was','for','on','are','as','with','his','they','at','be','this','have','from','or','had','by','not','word','but','what','some','we','can','out','other']"
+
+
+def q_text_features(spark, sf_dir):
+    """The full text-analysis column stack (token counts, BPE-ish counts,
+    stopword/punct ratios, mean word length, composite quality, lang
+    heuristic) — pure JVM column expressions, oracled in plain SQL."""
+    from .functions.text import (
+        bpe_token_count,
+        lang_guess,
+        mean_word_length,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(t), 6).alias("sw_ratio"),
+        F.round(punct_ratio(t), 6).alias("p_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_wlen"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+    )
+
+
+SQL_TEXT_FEATURES = f"""
+WITH f AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text)
+         ELSE 0.0 END AS pr
+  FROM documents),
+g AS (
+  SELECT doc_id, text, toks, pr,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({{sw}}, x))) * 1.0 / len(toks)
+         ELSE 0.0 END AS sw,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN len(list_filter(toks, x -> list_contains({{sw}}, x))) >= 2 THEN 'en'
+         ELSE 'other' END AS lang_guess
+  FROM f)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(sw, 6) AS sw_ratio,
+       round(pr, 6) AS p_ratio,
+       round(mwl, 6) AS mean_wlen,
+       round(least(length(text) / 200.0, 1.0) * 0.3
+             + least(sw * 4.0, 1.0) * 0.3
+             + (1.0 - least(pr * 5.0, 1.0)) * 0.2
+             + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) * 0.2,
+             6) AS quality,
+       lang_guess
+FROM g
+""".replace("{sw}", TEXTF_STOPWORDS_SQL)
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-space near-duplicate pairs: LSH bucket candidates +
+    exact-cosine threshold (seeded deterministic function; frozen sf0.01
+    golden)."""
+    from .functions.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.head()["embedding"])
+    out = embedding_near_dup_pairs(emb, dim=dim, threshold=0.25, num_planes=6)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_lang_counts(spark, sf_dir):
@@ -1012,6 +1087,8 @@ def _base_queries() -> dict:
         "pages_edges": q_pages_edges,
         "doc_tokens": q_doc_tokens,
         "doc_dedup_exact": q_doc_dedup,
+        "text_features": q_text_features,
+        "embed_near_dup": q_embed_near_dup,
         "doc_near_dup_jaccard": q_doc_near_dup,
         "lang_counts": q_lang_counts,
         "quality_filter": q_quality_filter,
@@ -1059,6 +1136,7 @@ def _base_oracles() -> dict:
         "pages_edges": _sql_pages_edges(),
         "doc_tokens": SQL_DOC_TOKENS,
         "doc_dedup_exact": SQL_DOC_DEDUP,
+        "text_features": SQL_TEXT_FEATURES,
         "doc_near_dup_jaccard": SQL_DOC_NEAR_DUP,
         "lang_counts": SQL_LANG_COUNTS,
         "quality_filter": SQL_QUALITY_FILTER,
@@ -1097,6 +1175,9 @@ def _seeded_goldens_oracles() -> dict:
         "ann_lsh_topk": values_sql(
             G.ANN_TOPK,
             [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
+        ),
+        "embed_near_dup": values_sql(
+            G.EMBED_NEAR_DUP, [("a", "BIGINT"), ("b", "BIGINT"), ("cosine", "DOUBLE")]
         ),
     }
 
