@@ -54,7 +54,7 @@ def bench_pagerank_powerlaw(spark, results):
     edges = powerlaw_edges(spark, PL_VERTICES, PL_EDGES).distinct().persist()
     n_edges = edges.count()
     t0 = time.time()
-    res = pagerank(edges, tol=0.0, max_iter=PR_ITERS)
+    res = pagerank(edges, tol=0.0, max_iter=PR_ITERS, fuse=2)
     dt = time.time() - t0
     checksum = res.state.agg(F.sum("rank")).collect()[0][0]
     edges.unpersist()
@@ -82,7 +82,7 @@ def bench_pagerank_powerlaw_16m(spark, results):
     edges = powerlaw_edges(spark, n_v, n_e).distinct().persist()
     n_edges = edges.count()
     t0 = time.time()
-    res = pagerank(edges, tol=0.0, max_iter=iters)
+    res = pagerank(edges, tol=0.0, max_iter=iters, fuse=2)
     dt = time.time() - t0
     checksum = res.state.agg(F.sum("rank")).collect()[0][0]
     edges.unpersist()
@@ -102,7 +102,7 @@ def bench_pagerank_tri_convergence(spark, results):
     edges = tri_edges(spark, SF_DIR).persist()
     n_edges = edges.count()
     t0 = time.time()
-    res = pagerank(edges, tol=1e-9, max_iter=60)
+    res = pagerank(edges, tol=1e-9, max_iter=60, fuse=2)
     dt = time.time() - t0
     edges.unpersist()
     results["extra"]["pagerank_tri_iters"] = res.iterations

@@ -45,11 +45,31 @@ def pagerank(
     name: str = "pagerank",
     resume: bool = False,
     num_partitions: Optional[int] = None,
+    fuse: int = 1,
 ) -> SuperstepResult:
-    """edges: (src BIGINT, dst BIGINT). Returns state (id, rank)."""
+    """edges: (src BIGINT, dst BIGINT). Returns state (id, rank).
+
+    ``fuse``: power iterations per Spark job (iteration fusion). One job
+    evaluates ``fuse`` chained rank updates — the intermediate dangling
+    mass becomes an in-plan scalar aggregate (broadcast cross join) instead
+    of a driver literal, so the global barrier / scheduling / checkpoint
+    cost is paid once per ``fuse`` iterations; the exact iteration COUNT is
+    preserved (the last job runs the remainder). Numerically: the same
+    update formula, but intermediate sub-iterations are not repartitioned,
+    so floating-point summation order differs from fuse=1 at the ~1e-15
+    level (still deterministic for a fixed (fuse, shuffle-partitions)
+    config — the cross-parallelism determinism gate holds because the
+    partition COUNT, not the core count, fixes the aggregation tree).
+    Oracle-pinned fixed-round queries therefore keep fuse=1. With a
+    tolerance, every sub-iteration's delta is Observed; the returned state
+    is the last computed sub-iteration — up to ``fuse-1`` refinement
+    iterations past the first sub-tol delta (each ≤ tol).
+    """
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if fuse < 1:
+        raise ValueError("fuse must be >= 1")
     runner = runner or SuperstepRunner(spark)
 
     edges = edges.select("src", "dst").distinct()
@@ -90,6 +110,41 @@ def pagerank(
     # None forces a recompute from loaded state (resume path)
     dm_holder = {"dm": None if resume else (n_dangling / n if n else 0.0)}
 
+    iters_holder = {"done": 0}
+
+    def _one_update(cur: DataFrame, dm_expr, tag: str, carry=()) -> DataFrame:
+        """One chained rank update as a plan transform (no action);
+        ``carry`` columns (e.g. the in-plan dangling-mass scalar) ride
+        through the state projection so ``dm_expr`` can reference them."""
+        ce = cedges.select(
+            F.col("src").alias(f"_csrc{tag}"),
+            F.col("dst").alias(f"_cdst{tag}"),
+            F.col("inv_deg").alias(f"_cinv{tag}"),
+        )
+        contribs = (
+            cur.join(ce, cur["id"] == F.col(f"_csrc{tag}"))
+            .select(
+                F.col(f"_cdst{tag}").alias("id"),
+                (cur["rank"] * F.col(f"_cinv{tag}")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias(f"_c{tag}"))
+        )
+        return (
+            cur.select("id", F.col("rank").alias("prev_rank"), "dangling", *carry)
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (dm_expr / F.lit(float(n)) + F.coalesce(F.col(f"_c{tag}"), F.lit(0.0)))
+                ).alias("rank"),
+                "prev_rank",
+                "dangling",
+            )
+        )
+
     def step(state: DataFrame, i: int):
         from pyspark.sql import Observation
 
@@ -101,65 +156,57 @@ def pagerank(
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .collect()[0][0]
             )
-        # rename the edge side: persisted state keeps lineage back to
-        # cedges, so dataframe[col] references would be ambiguous
-        ce = cedges.select(
-            F.col("src").alias("_csrc"),
-            F.col("dst").alias("_cdst"),
-            F.col("inv_deg").alias("_cinv"),
-        )
-        contribs = (
-            state.join(ce, state["id"] == F.col("_csrc"))
-            .select(
-                F.col("_cdst").alias("id"),
-                (state["rank"] * F.col("_cinv")).alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("c"))
-        )
-        new_state = (
-            state.select("id", F.col("rank").alias("prev_rank"), "dangling")
-            .join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.lit(dm / n) + F.coalesce(F.col("c"), F.lit(0.0)))
-                ).alias("rank"),
-                "prev_rank",
-                "dangling",
-            )
-            .repartition(num_partitions, "id")
-        )
-        obs = Observation()  # auto-named; unique per superstep
-        new_state = mat.materialize(
-            new_state.observe(
+        k = min(fuse, max_iter - iters_holder["done"])
+        cur = state
+        sub_obs = []
+        for j in range(k):
+            if j == 0:
+                dm_expr = F.lit(float(dm))
+                carry = ()
+            else:
+                # intermediate dangling mass: in-plan scalar aggregate of the
+                # previous sub-iteration, broadcast into every row
+                dm_df = cur.filter(F.col("dangling")).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias(f"_dm{j}")
+                )
+                dm_expr = F.col(f"_dm{j}")
+                carry = (f"_dm{j}",)
+                cur = cur.crossJoin(F.broadcast(dm_df))
+            cur = _one_update(cur, dm_expr, tag=str(j), carry=carry)
+            obs = Observation()
+            cur = cur.observe(
                 obs,
                 F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
                 F.coalesce(
                     F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
                 ).alias("dm"),
             )
-        )
-        vals = obs.get
-        dm_holder["dm"] = vals["dm"]
+            sub_obs.append(obs)
+        new_state = mat.materialize(cur.repartition(num_partitions, "id"))
+        subs = [o.get for o in sub_obs]
+        iters_holder["done"] += k
+        dm_holder["dm"] = subs[-1]["dm"]
         return new_state, {
-            "max_delta": vals["delta"],
-            "dangling_mass": vals["dm"],
+            "max_delta": subs[-1]["delta"],
+            "sub_deltas": [s["delta"] for s in subs],
+            "dangling_mass": subs[-1]["dm"],
+            "fused": k,
             "n": n,
             "_checkpointed": True,
         }
 
+    outer_max = (max_iter + fuse - 1) // fuse
     result = runner.run(
         name,
         init,
         step,
-        max_iter=max_iter,
+        max_iter=outer_max,
         converged_key="max_delta",
         tol=tol,
         resume=resume,
     )
     result.state = result.state.select("id", "rank")
+    result.iterations = iters_holder["done"] if iters_holder["done"] else result.iterations
     mat.release()
     for df in (vertices, cedges):
         df.unpersist()

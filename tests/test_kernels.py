@@ -211,3 +211,21 @@ def test_cc_blocked_matches_twophase(spark):
     }
     assert blocked == two
     assert blocked[120] == 0 and blocked[502] == 500 and blocked[900] == 900
+
+
+def test_pagerank_fusion_equivalence(spark):
+    """Fused iteration (k power iterations per Spark job) must run the
+    exact iteration count and agree with fuse=1 to FP-reassociation noise."""
+    from networkx_graph_spark.kernels.pagerank import pagerank
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 0)], "src long, dst long"
+    )  # 4 is dangling
+    r1 = pagerank(e, tol=-1.0, max_iter=7, fuse=1)
+    r2 = pagerank(e, tol=-1.0, max_iter=7, fuse=2)
+    assert r1.iterations == r2.iterations == 7
+    a = {r["id"]: r["rank"] for r in r1.state.collect()}
+    b = {r["id"]: r["rank"] for r in r2.state.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+    assert abs(sum(a.values()) - 1.0) < 1e-9
