@@ -1040,6 +1040,10 @@ def _sql_media_features() -> str:
 def q_zigzag_dag(spark, sf_dir):
     """Zigzag destinations over a small slice of the tripartite graph
     (custkey<20) — two-way reachability with sibling transfers."""
+    return _zigzag_dag_impl(spark, sf_dir, use_csr=False)
+
+
+def _zigzag_dag_impl(spark, sf_dir, use_csr: bool):
     from .graph import SparkDiGraph
     from .operators.zigzag import shortest_zigzag_path
 
@@ -1054,10 +1058,16 @@ def q_zigzag_dag(spark, sf_dir):
     e = orders.unionByName(parts)
     g = SparkDiGraph.from_edge_df(spark, e)
     src = str(orders.agg(F.min("src")).collect()[0][0])
-    gen = shortest_zigzag_path(g, src, cutoff=2.5)
+    gen = shortest_zigzag_path(g, src, cutoff=2.5, use_csr=use_csr)
     rows = [(n, d, dist) for (n, d), dist in sorted(gen.dists().items())]
     g.unpersist()
     return spark.createDataFrame(rows, "node string, direction int, dist double")
+
+
+def q_zigzag_csr_dag(spark, sf_dir):
+    """Same zigzag testdata query through the block-centric CSR kernel —
+    must match the identical fixed-round Bellman-Ford SQL oracle."""
+    return _zigzag_dag_impl(spark, sf_dir, use_csr=True)
 
 
 def build_queries() -> dict:
@@ -1106,6 +1116,7 @@ def _base_queries() -> dict:
         "ann_lsh_topk": q_ann_lsh,
         "media_features": q_media_features,
         "zigzag_dag": q_zigzag_dag,
+        "zigzag_csr_dag": q_zigzag_csr_dag,
     }
 
 
@@ -1149,6 +1160,7 @@ def _base_oracles() -> dict:
         "lpa_5iter": _sql_lpa(),
         "cc_converged": _sql_cc_converged(),
         "zigzag_dag": _sql_zigzag_dag(),
+        "zigzag_csr_dag": _sql_zigzag_dag(),
         **_seeded_goldens_oracles(),
     }
 

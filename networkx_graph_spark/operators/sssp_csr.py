@@ -99,6 +99,120 @@ def _local_relax_factory(num_blocks: int, cutoff: float, block_width: int = 1):
     return fn
 
 
+def _zigzag_local_relax_factory(num_blocks: int, cutoff: float, block_width: int = 1):
+    """Zigzag variant of the local relaxation: labels are
+    ``(dist, g, prev)`` (operators/zigzag.py tie-break — g resets to 0 on a
+    positive-weight flip edge, else parent g + 1). Monotone label function
+    ⇒ unique least fixpoint ⇒ relaxation order (block-local vs global)
+    cannot change the converged labels."""
+
+    def fn(frontier: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if frontier.empty or edges.empty:
+            return frontier[["node", "dist", "g", "prev"]]
+        esrc = edges["src"].to_numpy()
+        edst = edges["dst"].to_numpy()
+        ew = edges["weight"].to_numpy()
+        eflip = edges["is_flip"].to_numpy()
+        order = np.argsort(esrc, kind="stable")
+        esrc, edst, ew, eflip = esrc[order], edst[order], ew[order], eflip[order]
+        uniq, starts = np.unique(esrc, return_index=True)
+        starts = np.append(starts, len(esrc))
+        src_pos = {int(s): (int(starts[i]), int(starts[i + 1])) for i, s in enumerate(uniq)}
+
+        best: dict[int, tuple[float, int, int]] = {}
+        out: dict[int, tuple[float, int, int]] = {}
+        for n, d, g, p in zip(
+            frontier["node"], frontier["dist"], frontier["g"], frontier["prev"]
+        ):
+            k = int(n)
+            cand = (float(d), int(g), int(p))
+            if k not in best or cand < best[k]:
+                best[k] = cand
+        stack = list(best.keys())
+        while stack:
+            u = stack.pop()
+            du, gu, _ = best[u]
+            rng = src_pos.get(u)
+            if rng is None:
+                continue
+            for i in range(rng[0], rng[1]):
+                v = int(edst[i])
+                w = float(ew[i])
+                c = du + w
+                if c > cutoff:
+                    continue
+                gv = 0 if (eflip[i] and w > 0) else gu + 1
+                cand = (c, gv, u)
+                if v not in best or cand < best[v]:
+                    best[v] = cand
+                    out[v] = cand
+                    if (v // block_width) % num_blocks == (u // block_width) % num_blocks:
+                        stack.append(v)
+        rows = [(n, d, g, p) for n, (d, g, p) in out.items()]
+        return pd.DataFrame(rows, columns=["node", "dist", "g", "prev"])
+
+    return fn
+
+
+def zigzag_sssp_csr(
+    spark: SparkSession,
+    state_edges: DataFrame,
+    seed_states: list[int],
+    cutoff: float,
+    num_blocks: Optional[int] = None,
+    block_width: int = 2,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """Block-centric zigzag relaxation over the doubled-state graph
+    (operators/zigzag.py semantics; ``state_edges`` must already exclude
+    flips out of the seed states). Zigzag graphs are dominated by 0-cost
+    moves (forward/backward hops, sibling transfers), so block-local
+    convergence collapses long 0-cost chains into one superstep.
+    block_width defaults to 2 so both states of a node share a block.
+    Returns (node=state, dist, g, prev) equal to zigzag_sssp's state."""
+    if num_blocks is None:
+        num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    blk = lambda c: F.pmod(F.floor(F.col(c) / F.lit(block_width)), F.lit(num_blocks))  # noqa: E731
+    eb = state_edges.select("src", "dst", "weight", "is_flip").withColumn("_blk", blk("src"))
+    fn = _zigzag_local_relax_factory(num_blocks, float(cutoff), block_width)
+    schema = "node long, dist double, g int, prev long"
+
+    state = spark.createDataFrame(
+        [(s, 0.0, 0, -1) for s in seed_states], schema
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for _ in range(max_iter):
+        msgs = (
+            frontier.withColumn("_blk", blk("node"))
+            .groupBy("_blk")
+            .cogroup(eb.groupBy("_blk"))
+            .applyInPandas(fn, schema=schema)
+        )
+        best = (
+            msgs.groupBy("node")
+            .agg(F.min(F.struct("dist", "g", "prev")).alias("m"))
+            .select("node", "m.dist", "m.g", "m.prev")
+        )
+        old = state.select("node", F.struct("dist", "g", "prev").alias("_old"))
+        improved = (
+            best.join(old, "node", "left")
+            .filter(F.col("_old").isNull() | (F.struct("dist", "g", "prev") < F.col("_old")))
+            .select("node", "dist", "g", "prev")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return state
+
+
 def bounded_sssp_csr(
     spark: SparkSession,
     edges_w: DataFrame,

@@ -112,14 +112,24 @@ def zigzag_sssp(
     seed_states: list[int],
     cutoff: float,
     max_iter: int = 10_000,
+    use_csr: bool = False,
 ) -> DataFrame:
     """Label-correcting loop over the state graph with the (dist, g, prev)
     tie-break. Returns (node=state, dist, g, prev) — seeds excluded from
-    prev-map semantics (prev = -1)."""
+    prev-map semantics (prev = -1).
+
+    ``use_csr``: route through the block-centric local-fixpoint kernel
+    (operators/sssp_csr.zigzag_sssp_csr) — same converged labels (unique
+    least fixpoint), far fewer global supersteps on 0-cost-dominated state
+    graphs."""
     spark = graph.spark
     se_all = _graph_state_edges(graph)
     # flips out of seeded source states never fire
     se = se_all.filter(~(F.col("src").isin(seed_states) & F.col("is_flip")))
+    if use_csr:
+        from .sssp_csr import zigzag_sssp_csr
+
+        return zigzag_sssp_csr(spark, se, seed_states, cutoff, max_iter=max_iter)
     state = spark.createDataFrame(
         [(s, 0.0, 0, -1) for s in seed_states],
         "node long, dist double, g int, prev long",
@@ -336,6 +346,7 @@ def shortest_zigzag_path(
     target: Optional[str] = None,
     cutoff: float = 0.0,
     direction: int = 0,
+    use_csr: bool = False,
 ):
     """Point query returns ZigzagPathResult|None; target=None returns a
     ZigzagGen (/root/reference/src/main.cpp:622-653, :3383-3398)."""
@@ -356,7 +367,7 @@ def shortest_zigzag_path(
         seeds.append(state_id(sid, 1))
     if direction <= 0:
         seeds.append(state_id(sid, -1))
-    state = zigzag_sssp(graph, seeds, cutoff)
+    state = zigzag_sssp(graph, seeds, cutoff, use_csr=use_csr)
     if target is None:
         gen = ZigzagGen(graph, cutoff, source=sid, state_df=state)
         return gen

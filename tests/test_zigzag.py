@@ -149,3 +149,30 @@ def test_zigzag_round_n(spark):
     g = SparkDiGraph.from_lists(spark, GRAPH1_NODES, GRAPH1_EDGES, round_n=-1)
     generator = shortest_zigzag_path(g, "w4", cutoff=30)
     assert set(generator.dists().values()) == {0.0, 10.0, 20.0}
+
+
+def test_zigzag_csr_kernel_parity(graph1):
+    """The block-centric zigzag kernel must converge to the identical
+    (dist, g, prev) state as the plain superstep kernel (unique least
+    fixpoint of the monotone label function), hence identical goldens."""
+    from networkx_graph_spark.operators.zigzag import state_id, zigzag_sssp
+
+    for src, cutoff, direction in [("w4", 30.0, 0), ("w4", 30.0, 1), ("w1", 100.0, 0)]:
+        sid = graph1.node_id(src)
+        seeds = []
+        if direction >= 0:
+            seeds.append(state_id(sid, 1))
+        if direction <= 0:
+            seeds.append(state_id(sid, -1))
+        a = sorted(tuple(r) for r in zigzag_sssp(graph1, seeds, cutoff).collect())
+        b = sorted(
+            tuple(r) for r in zigzag_sssp(graph1, seeds, cutoff, use_csr=True).collect()
+        )
+        assert a == b
+
+    gen = shortest_zigzag_path(graph1, "w4", cutoff=30, use_csr=True)
+    assert gen.path("w2").to_dict() == {
+        "dist": 10.0,
+        "nodes": ["w4", "w3", "w2"],
+        "directions": [-1, -1, 1],
+    }
