@@ -293,3 +293,51 @@ def test_ann_multi_probe_recall(spark):
     # embeddings are near-random, the hardest case for LSH)
     assert r1 >= r0
     assert r1 > 0.0
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: every emitted session must be a
+    complete session per the batch twin; with all data in one micro-batch,
+    the emitted set is exactly the batch sessions minus each user's final
+    (still-open) session."""
+    from pyspark.sql import functions as F
+
+    from networkx_graph_spark.streaming.events import (
+        sessionize_batch,
+        sessionize_stream_stateful,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stream_dir = str(tmp_path / "events_stream")
+    src.orderBy("ts").coalesce(1).write.parquet(stream_dir)
+    stored = spark.read.parquet(stream_dir)
+
+    q = sessionize_stream_stateful(
+        spark, stream_dir, stored.schema, gap_minutes=30, query_name="sess_sf"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sess_sf").collect()
+    }
+
+    batch = sessionize_batch(stored, gap_minutes=30)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    ranked = batch.withColumn("_rn", F.row_number().over(w))
+    closed = {
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in ranked.filter(F.col("_rn") > 1).collect()
+    }
+    finals = {
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in ranked.filter(F.col("_rn") == 1).collect()
+    }
+    # gap-closed sessions must ALL be emitted; the remainder are final
+    # sessions flushed by the event-time timeout (watermark-dependent —
+    # users idle > watermark+gap before the stream's max ts)
+    assert closed <= got
+    assert got - closed <= finals
+    assert len(got) > len(closed) > 0  # some timeouts actually fired
