@@ -18,6 +18,15 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with contract.py)
 
 from .graph import SparkDiGraph
 
+REF_UBODT_BIN_SQL = """
+SELECT * FROM (VALUES
+ (1, 2, 2, 1, 0.0), (1, 3, 3, 1, 0.0), (1, 4, 3, 3, 10.0), (1, 5, 2, 2, 15.0),
+ (1, 7, 2, 5, 30.0), (1, 6, 3, 4, 30.0), (2, 5, 5, 2, 0.0), (2, 7, 5, 5, 15.0),
+ (3, 4, 4, 3, 0.0), (3, 6, 4, 4, 20.0), (3, 7, 4, 6, 23.0), (4, 6, 6, 4, 0.0),
+ (4, 7, 6, 6, 3.0), (5, 7, 7, 5, 0.0), (6, 7, 7, 6, 0.0)
+) AS t(source, target, source_next, target_prev, cost)
+"""
+
 GRAPH1_NODES = [("w1", 10.0), ("w2", 15.0), ("w5", 15.0), ("w3", 10.0),
                 ("w4", 20.0), ("w6", 3.0), ("w7", 10.0)]
 GRAPH1_EDGES = [("w1", "w2"), ("w1", "w3"), ("w2", "w5"), ("w3", "w4"),
@@ -542,6 +551,9 @@ def ref_queries() -> dict:
         "ref_bindings_all_graph1": q_ref_bindings_all,
         "ref_zigzag_paths_graph1": q_ref_zigzag_paths,
         "ref_attrs_graph1": q_ref_attrs,
+        "ref_views_graph1": q_ref_views,
+        "ref_prevs_graph1": q_ref_prevs,
+        "ref_ubodt_binary_graph1": q_ref_ubodt_binary,
     }
 
 
@@ -566,4 +578,91 @@ def ref_oracles() -> dict:
         "ref_bindings_all_graph1": values_sql(BINDINGS_EXPECTED, BINDINGS_SCHEMA),
         "ref_zigzag_paths_graph1": values_sql(ZZ_EXPECTED, ZZ_SCHEMA),
         "ref_attrs_graph1": values_sql(ATTRS_EXPECTED, ATTRS_SCHEMA),
+        "ref_views_graph1": values_sql(VIEWS_EXPECTED, VIEWS_SCHEMA),
+        "ref_prevs_graph1": values_sql(
+            PREVS_EXPECTED, [("node", "VARCHAR"), ("prev", "VARCHAR")]
+        ),
+        "ref_ubodt_binary_graph1": REF_UBODT_BIN_SQL,
     }
+
+
+# ------------------------------------------ N3/N4/N5 graph views
+VIEWS_SCHEMA = [("kind", "VARCHAR"), ("a", "VARCHAR"), ("b", "VARCHAR"),
+                ("length", "DOUBLE")]
+VIEWS_EXPECTED = [
+    ("node", "w1", "", 10.0), ("node", "w2", "", 15.0), ("node", "w3", "", 10.0),
+    ("node", "w4", "", 20.0), ("node", "w5", "", 15.0), ("node", "w6", "", 3.0),
+    ("node", "w7", "", 10.0),
+    ("edge", "w1", "w2", None), ("edge", "w1", "w3", None),
+    ("edge", "w2", "w5", None), ("edge", "w3", "w4", None),
+    ("edge", "w4", "w6", None), ("edge", "w6", "w7", None),
+    ("edge", "w5", "w7", None),
+    ("succ", "w1", "w2", None), ("succ", "w1", "w3", None),
+    ("pred", "w7", "w5", None), ("pred", "w7", "w6", None),
+    # sibs_under_next: share a common predecessor (w1 -> {w2, w3})
+    ("sib_next", "w2", "w3", None), ("sib_next", "w3", "w2", None),
+    # sibs_under_prev: share a common successor (w5, w6 -> w7)
+    ("sib_prev", "w5", "w6", None), ("sib_prev", "w6", "w5", None),
+]
+
+
+def q_ref_views(spark, sf_dir):
+    """nodes/edges views + successors/predecessors + sibling maps
+    (/root/reference/src/main.cpp:391-435, :1041-1066)."""
+    g = _g1(spark)
+    rows = []
+    for name, attrs in sorted(g.nodes_map().items()):
+        rows.append(("node", name, "", attrs["length"]))
+    for (a, b) in sorted(g.edges_map()):
+        rows.append(("edge", a, b, None))
+    for b in g.successors("w1"):
+        rows.append(("succ", "w1", b, None))
+    for b in g.predecessors("w7"):
+        rows.append(("pred", "w7", b, None))
+    for a, sibs in sorted(g.sibs_under_next_map().items()):
+        for b in sorted(sibs):
+            rows.append(("sib_next", a, b, None))
+    for a, sibs in sorted(g.sibs_under_prev_map().items()):
+        for b in sorted(sibs):
+            rows.append(("sib_prev", a, b, None))
+    g.unpersist()
+    return spark.createDataFrame(rows, "kind string, a string, b string, length double")
+
+
+# --------------------------------------------------- S9 generator prevs
+PREVS_EXPECTED = [
+    ("w2", "w1"), ("w3", "w1"), ("w4", "w3"),
+    ("w5", "w2"), ("w6", "w4"), ("w7", "w5"),
+]
+
+
+def q_ref_prevs(spark, sf_dir):
+    """Generator prevs() predecessor map
+    (/root/reference/tests/test_basic.py:179-183 semantics)."""
+    from .operators.sssp import shortest_paths
+
+    g = _g1(spark)
+    gen = shortest_paths(g, "w1", cutoff=200.0)
+    rows = sorted(gen.prevs().items())
+    g.unpersist()
+    return spark.createDataFrame(rows, "node string, prev string")
+
+
+# --------------------------------------- C6 UBODT binary IO round-trip
+def q_ref_ubodt_binary(spark, sf_dir):
+    """Reference-exact 40-byte binary dump/load round-trip
+    (/root/reference/src/main.cpp:2096-2125): the loaded table must equal
+    the built one record-for-record (same VALUES oracle as ref_ubodt)."""
+    import os
+    import tempfile
+
+    from .operators.ubodt import build_ubodt, dump_ubodt_binary, load_ubodt_binary
+
+    g = _g1(spark)
+    built = build_ubodt(g, 100.0).localCheckpoint(eager=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="ubodt_bin_"), "ubodt.bin")
+    dump_ubodt_binary(built, path)
+    loaded = load_ubodt_binary(spark, path).localCheckpoint(eager=True)
+    os.unlink(path)
+    g.unpersist()
+    return loaded
