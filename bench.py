@@ -231,7 +231,13 @@ BENCHES = {
 # The shared-VM wall clock swings ±40% run to run (NOTES_r1.md); the noisy
 # round-over-round kernels get median-of-N interleaved samples (the
 # scaling_run.py protocol), the rest one sample. Override: BENCH_RUNS=3.
-MULTI_RUN = {"pagerank_powerlaw": 3, "cc_powerlaw": 3}
+MULTI_RUN = {
+    "pagerank_powerlaw": 3,
+    "cc_powerlaw": 3,
+    "minhash_dedup": 3,
+    "cosine_topk": 3,
+    "sssp_tri": 3,
+}
 
 
 def main():

@@ -995,6 +995,22 @@ N_CONTRACT_MEDIA = 48
 MEDIA_FEATURE_DIM = 8
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic k-means inverted file (quantized centroids ->
+    partition-invariant), nprobe nearest-centroid candidates, exact-cosine
+    re-rank (seeded deterministic function; frozen sf0.01 golden)."""
+    from .functions.similarity import ann_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.head()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+    )
+    out = ann_topk_ivf(emb, queries, dim=dim, k=5, n_centroids=16, nprobe=3)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: synth media (binary payload + typed
     meta) -> Arrow mapInPandas feature extraction -> canonicalizable
@@ -1114,6 +1130,7 @@ def _base_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "media_features": q_media_features,
         "zigzag_dag": q_zigzag_dag,
         "zigzag_csr_dag": q_zigzag_csr_dag,
@@ -1190,6 +1207,10 @@ def _seeded_goldens_oracles() -> dict:
         ),
         "embed_near_dup": values_sql(
             G.EMBED_NEAR_DUP, [("a", "BIGINT"), ("b", "BIGINT"), ("cosine", "DOUBLE")]
+        ),
+        "ann_ivf_topk": values_sql(
+            G.ANN_IVF_TOPK,
+            [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
         ),
     }
 

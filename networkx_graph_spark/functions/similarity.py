@@ -208,3 +208,146 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ------------------------------------------------------------------- IVF
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): nearest centroid by cosine — one Arrow pass, numpy
+    matmul against the broadcast (k, dim) centroid matrix; ties break to
+    the lowest cluster index (numpy argmax picks the first maximum)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cluster = (mat @ Cn.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"id": pdf[id_col], "cluster": cluster})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _assign, schema="id long, cluster int"
+    )
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic k-means (Lloyd) centroids as a numpy (k, dim) array.
+
+    Determinism under ANY partitioning/parallelism: init picks the first
+    ``n_centroids`` vectors in ``xxhash64(id, seed)`` order (a pure
+    function of ids), and every updated centroid is QUANTIZED to 6
+    decimals — the per-partition FP summation-order jitter (~1e-15) of the
+    distributed mean vanishes under quantization, so assignments (and any
+    frozen golden built on them) are partition-invariant. Empty clusters
+    keep their previous centroid."""
+    import numpy as np
+
+    init_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.round(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]), 6
+    )
+    for _ in range(iters):
+        assign = ivf_assign(embeddings, C, id_col, vec_col)
+        j = embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
+        ).join(assign, "id")
+        sums = (
+            j.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        newC = C.copy()
+        acc: dict[int, list] = {}
+        for r in sums:
+            acc.setdefault(r["cluster"], [None] * dim)[r["pos"]] = r["s"] / r["n"]
+        for c, vals in acc.items():
+            newC[c] = [v if v is not None else C[c][i] for i, v in enumerate(vals)]
+        C = np.round(newC, 6)
+    return C
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: k-means-partitioned inverted file; each query
+    probes its ``nprobe`` nearest centroids and exact cosine re-ranks the
+    candidates. ``nprobe == n_centroids`` degenerates to exact search.
+    At scale the assignment column is computed once and stored with the
+    vectors (bucketed parquet on ``cluster``), making each query a
+    partition-pruned scan of nprobe/k of the data."""
+    import numpy as np
+
+    C = ivf_fit(embeddings, dim, n_centroids, iters, seed, id_col, vec_col)
+    assign = ivf_assign(embeddings, C, id_col, vec_col).withColumnRenamed("id", id_col)
+    e = embeddings.select(id_col, vec_col).join(assign, id_col)
+
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def _probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[q_vec_col]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ Cn.T
+            order = np.argsort(-sims, kind="stable", axis=1)[:, :nprobe]
+            rows = [
+                (int(q), int(c))
+                for q, cs in zip(pdf[q_id_col], order)
+                for c in cs
+            ]
+            yield pd.DataFrame(rows, columns=["qid", "cluster"])
+
+    qprobes = queries.select(q_id_col, q_vec_col).mapInPandas(
+        _probes, schema="qid int, cluster int"
+    ).withColumnRenamed("qid", q_id_col)
+    cand = (
+        e.join(F.broadcast(qprobes), "cluster")
+        .filter(F.col(q_id_col) != F.col(id_col))
+        .select(q_id_col, id_col)
+        .distinct()
+        .join(embeddings.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
+    )
+    cos = cosine_col(
+        F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+    )
+    scored = cand.select(
+        F.col(q_id_col).alias("qid"), F.col(id_col).alias("vec_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )

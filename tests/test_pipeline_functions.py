@@ -341,3 +341,33 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert closed <= got
     assert got - closed <= finals
     assert len(got) > len(closed) > 0  # some timeouts actually fired
+
+
+def test_ann_ivf_recall_invariants(spark):
+    """IVF ANN: probing every centroid degenerates to exact search
+    (recall 1.0); recall is monotone in nprobe."""
+    from pyspark.sql import functions as F
+
+    from networkx_graph_spark.functions.similarity import ann_topk_ivf, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.head()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r["qid"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def got(nprobe):
+        return {
+            (r["qid"], r["vec_id"])
+            for r in ann_topk_ivf(
+                emb, queries, dim=dim, k=5, n_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+
+    g1, g4, gall = got(1), got(4), got(8)
+    r = lambda g: len(g & exact) / len(exact)  # noqa: E731
+    assert gall == exact  # all probes == exact search
+    assert r(g1) <= r(g4) <= 1.0
