@@ -788,22 +788,31 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_customers(spark, sf_dir):
-    from pyspark.sql import Window
-
+    """Top-10 spenders. The ranking is a bounded top-k, so it runs as
+    ``orderBy().limit(10)`` (TakeOrderedAndProject: per-partition top-10,
+    driver merge) — never a global ``row_number`` window, whose
+    SinglePartition exchange would pull every customer through one task at
+    10^9-customer scale. Ranks are assigned driver-side on the 10-row
+    result and the tiny ranked side is broadcast into the customer join."""
     orders = _read(spark, sf_dir, "orders")
     cust = _read(spark, sf_dir, "customer")
     tot = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+    top10 = tot.orderBy(
+        F.col("total_spent").desc(), F.col("o_custkey").asc()
+    ).limit(10).collect()
+    ranked = spark.createDataFrame(
+        [
+            (r["o_custkey"], r["total_spent"], r["n_orders"], i + 1)
+            for i, r in enumerate(top10)
+        ],
+        "custkey long, total_spent double, n_orders long, rank int",
+    )
     return (
-        tot.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .join(cust, tot["o_custkey"] == cust["c_custkey"])
-        .select(
-            F.col("o_custkey").alias("custkey"), "c_name", "total_spent", "n_orders", "rank"
-        )
+        cust.join(F.broadcast(ranked), cust["c_custkey"] == ranked["custkey"])
+        .select("custkey", "c_name", "total_spent", "n_orders", "rank")
     )
 
 

@@ -329,7 +329,7 @@ def ann_topk_ivf(
             yield pd.DataFrame(rows, columns=["qid", "cluster"])
 
     qprobes = queries.select(q_id_col, q_vec_col).mapInPandas(
-        _probes, schema="qid int, cluster int"
+        _probes, schema="qid long, cluster int"  # qid is BIGINT everywhere
     ).withColumnRenamed("qid", q_id_col)
     cand = (
         e.join(F.broadcast(qprobes), "cluster")

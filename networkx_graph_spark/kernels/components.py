@@ -44,13 +44,28 @@ def connected_components(
     name: str = "components",
     resume: bool = False,
     num_partitions: Optional[int] = None,
+    exact_convergence: bool = False,
 ) -> SuperstepResult:
-    """edges (src, dst) -> state (id, component), component = min id reachable."""
+    """edges (src, dst) -> state (id, component), component = min id reachable.
+
+    ``exact_convergence`` (twophase only): use the exact anti-join edge-set
+    comparison instead of the default (count, sum(xxhash64)) signature —
+    see ``_cc_twophase`` for the trade-off.
+    """
     if algorithm == "hashmin":
         return _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions)
     if algorithm == "twophase":
-        return _cc_twophase(edges, max_iter, runner, name, resume, num_partitions)
+        return _cc_twophase(
+            edges, max_iter, runner, name, resume, num_partitions, exact_convergence
+        )
     if algorithm == "blocked":
+        if runner is not None or resume:
+            raise ValueError(
+                "algorithm='blocked' does not support runner/resume — its "
+                "supersteps run inside bounded_sssp_csr, outside the "
+                "SuperstepRunner checkpoint protocol; use hashmin/twophase "
+                "for resumable runs"
+            )
         return _cc_blocked(edges, max_iter, num_partitions)
     raise ValueError(f"unknown algorithm: {algorithm}")
 
@@ -86,14 +101,20 @@ def _cc_blocked(edges, max_iter, num_partitions, block_width: int = 1024):
         F.lit(NEG_INF).alias("prev_dist"),
     )
     ew = sym.select("src", "dst", F.lit(0.0).alias("weight"))
-    state = bounded_sssp_csr(
+    state, converged, iters = bounded_sssp_csr(
         spark, ew, seeds, cutoff=float("inf"),
         num_blocks=num_partitions, block_width=block_width, max_iter=max_iter,
+        return_info=True,
     )
+    if not converged:
+        raise RuntimeError(
+            f"blocked CC did not reach the fixpoint in max_iter={max_iter} "
+            "supersteps — components would be wrong; raise max_iter"
+        )
     out = state.select(
         F.col("node").alias("id"), F.col("dist").cast("long").alias("component")
     )
-    return SuperstepResult(state=out, iterations=-1, converged=True, metrics=[])
+    return SuperstepResult(state=out, iterations=iters, converged=True, metrics=[])
 
 
 def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
@@ -160,12 +181,24 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
     return result
 
 
-def _cc_twophase(edges, max_iter, runner, name, resume, num_partitions):
+def _cc_twophase(
+    edges, max_iter, runner, name, resume, num_partitions, exact_convergence=False
+):
     """Alternating large-star / small-star (Kiveris et al. SoCC'14).
 
     State = the edge set as parent links (u, v); converges when one
     round of large-star + small-star changes nothing; final state maps
     every vertex to the component minimum.
+
+    Convergence detection is PROBABILISTIC by default: the edge set is
+    compared between rounds via an order-insensitive (count,
+    sum(xxhash64(u,v))) signature observed on the materialize action
+    (1 Spark job per superstep). A 64-bit multiset-hash collision between
+    consecutive DIFFERENT edge sets (~2^-64 per round) would declare
+    convergence one round early and return wrong components; it also
+    burns one extra confirming superstep on an already-converged input.
+    ``exact_convergence=True`` restores the exact anti-join set comparison
+    (two extra count jobs per superstep) for correctness-gated runs.
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -235,10 +268,22 @@ def _cc_twophase(edges, max_iter, runner, name, resume, num_partitions):
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
         )
-        new_state = mat2.materialize(new_state)
-        sig = (obs.get["cnt"], obs.get["chk"])
-        changed = 0 if sig == prev_sig[0] else 1
-        prev_sig[0] = sig
+        if exact_convergence:
+            # keep the old state's blocks alive one extra round: the exact
+            # check reads it after the new state is materialized
+            new_state = mat2.materialize(new_state, free_prev=False)
+            cnt = obs.get["cnt"]
+            if prev_sig[0] is not None and prev_sig[0] == cnt:
+                # equal cardinality + both sides distinct: new ⊆ old ⇒ equal
+                changed = new_state.join(state, ["u", "v"], "left_anti").limit(1).count()
+            else:
+                changed = 1
+            prev_sig[0] = cnt
+        else:
+            new_state = mat2.materialize(new_state)
+            sig = (obs.get["cnt"], obs.get["chk"])
+            changed = 0 if sig == prev_sig[0] else 1
+            prev_sig[0] = sig
         return new_state, {"changed": changed, "_checkpointed": True}
 
     result = runner.run(

@@ -110,8 +110,6 @@ def pagerank(
     # None forces a recompute from loaded state (resume path)
     dm_holder = {"dm": None if resume else (n_dangling / n if n else 0.0)}
 
-    iters_holder = {"done": 0}
-
     def _one_update(cur: DataFrame, dm_expr, tag: str, carry=()) -> DataFrame:
         """One chained rank update as a plan transform (no action);
         ``carry`` columns (e.g. the in-plan dangling-mass scalar) ride
@@ -156,7 +154,10 @@ def pagerank(
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .collect()[0][0]
             )
-        k = min(fuse, max_iter - iters_holder["done"])
+        # completed sub-iterations derive from the runner-supplied OUTER
+        # index (not a process-local counter) so fuse>1 plans the correct
+        # remainder after a checkpoint resume in a fresh process
+        k = min(fuse, max_iter - i * fuse)
         cur = state
         sub_obs = []
         for j in range(k):
@@ -184,7 +185,6 @@ def pagerank(
             sub_obs.append(obs)
         new_state = mat.materialize(cur.repartition(num_partitions, "id"))
         subs = [o.get for o in sub_obs]
-        iters_holder["done"] += k
         dm_holder["dm"] = subs[-1]["dm"]
         return new_state, {
             "max_delta": subs[-1]["delta"],
@@ -206,7 +206,10 @@ def pagerank(
         resume=resume,
     )
     result.state = result.state.select("id", "rank")
-    result.iterations = iters_holder["done"] if iters_holder["done"] else result.iterations
+    # runner.iterations counts OUTER steps (absolute, resume-inclusive);
+    # the last step runs only the remainder, so total sub-iterations is
+    # capped at max_iter
+    result.iterations = min(result.iterations * fuse, max_iter)
     mat.release()
     for df in (vertices, cedges):
         df.unpersist()

@@ -221,10 +221,14 @@ def bounded_sssp_csr(
     num_blocks: Optional[int] = None,
     block_width: int = 1,
     max_iter: int = 10_000,
+    return_info: bool = False,
 ) -> DataFrame:
     """Block-centric variant of ``bounded_sssp`` (scalar cutoff, no sinks;
     the plain kernel covers the full parameter surface). Returns the same
-    converged state (qid, node, dist, prev, prev_dist).
+    converged state (qid, node, dist, prev, prev_dist); with
+    ``return_info=True`` returns ``(state, converged, iterations)`` so
+    callers can detect a ``max_iter`` exhaustion instead of silently
+    treating a truncated run as the fixpoint.
 
     ``block_width``: ids are blocked by ``(id // block_width) % num_blocks``
     — width 1 is a round-robin (hash-like) blocking; a larger width gives
@@ -241,7 +245,9 @@ def bounded_sssp_csr(
 
     state = seeds.localCheckpoint(eager=True)
     frontier = state
-    for _ in range(max_iter):
+    converged = False
+    iters = 0
+    for iters in range(1, max_iter + 1):
         msgs = (
             frontier.withColumn("_blk", blk("node"))
             .groupBy("_blk")
@@ -266,6 +272,7 @@ def bounded_sssp_csr(
             .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
+            converged = True
             break
         state = (
             state.join(improved.select("qid", "node"), ["qid", "node"], "left_anti")
@@ -273,4 +280,6 @@ def bounded_sssp_csr(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+    if return_info:
+        return state, converged, iters
     return state

@@ -229,3 +229,87 @@ def test_pagerank_fusion_equivalence(spark):
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
     assert abs(sum(a.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_fused_resume_iteration_count(spark, edges_df, tmp_path):
+    """fuse>1 + checkpoint resume must run EXACTLY max_iter sub-iterations:
+    the remainder is planned from the runner's outer index, not a
+    process-local counter (a fresh-process resume starts that counter at
+    0 and would overshoot)."""
+    import os
+    import shutil
+
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    d = str(tmp_path / "ckf")
+    r1 = SuperstepRunner(spark, checkpoint_dir=d)
+    full = pagerank(edges_df, tol=-1.0, max_iter=7, fuse=2, runner=r1, name="prf")
+    assert full.iterations == 7
+    a = {r["id"]: r["rank"] for r in full.state.collect()}
+    # crash after outer iteration 1 (= 4 sub-iterations done at fuse=2);
+    # emulate a FRESH process: a new runner + a new pagerank() call whose
+    # internal state starts cold
+    for entry in os.listdir(os.path.join(d, "prf")):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > 1:
+            shutil.rmtree(os.path.join(d, "prf", entry))
+    r2 = SuperstepRunner(spark, checkpoint_dir=d)
+    resumed = pagerank(
+        edges_df, tol=-1.0, max_iter=7, fuse=2, runner=r2, name="prf", resume=True
+    )
+    assert resumed.iterations == 7  # not 8: last outer step runs k=1
+    b = {r["id"]: r["rank"] for r in resumed.state.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_cc_twophase_exact_convergence(spark):
+    """exact_convergence=True (anti-join set comparison) must agree with
+    the default signature-based detection."""
+    from networkx_graph_spark.kernels.components import connected_components
+
+    rows = [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102), (102, 100)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    exact = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            e, algorithm="twophase", exact_convergence=True
+        ).state.collect()
+    }
+    sig = {
+        r["id"]: r["component"]
+        for r in connected_components(e, algorithm="twophase").state.collect()
+    }
+    assert exact == sig
+    assert exact[30] == 0 and exact[102] == 100
+
+
+def test_cc_blocked_rejects_runner_and_resume(spark):
+    """blocked CC runs outside the SuperstepRunner protocol — silently
+    ignoring runner/resume would fake a resumable run."""
+    import pytest as _pytest
+
+    from networkx_graph_spark.kernels.components import connected_components
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="blocked"):
+        connected_components(e, algorithm="blocked", runner=SuperstepRunner(spark))
+    with _pytest.raises(ValueError, match="blocked"):
+        connected_components(e, algorithm="blocked", resume=True)
+
+
+def test_cc_blocked_raises_on_max_iter_exhaustion(spark):
+    """A truncated blocked run must raise, not silently return wrong
+    components as converged=True."""
+    import pytest as _pytest
+
+    from networkx_graph_spark.kernels.components import connected_components
+
+    # chain of 40 with block_width=1024 -> everything lands in one block and
+    # converges in ~2 supersteps; max_iter=1 cuts the boundary round off
+    rows = [(i, i + 1) for i in range(40)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    ok = connected_components(e, algorithm="blocked", max_iter=50)
+    assert ok.converged and ok.iterations >= 1
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(e, algorithm="blocked", max_iter=1)
