@@ -554,6 +554,8 @@ def ref_queries() -> dict:
         "ref_views_graph1": q_ref_views,
         "ref_prevs_graph1": q_ref_prevs,
         "ref_ubodt_binary_graph1": q_ref_ubodt_binary,
+        "ref_astar_graph1": q_ref_astar,
+        "ref_saveload_graph1": q_ref_saveload,
     }
 
 
@@ -583,6 +585,8 @@ def ref_oracles() -> dict:
             PREVS_EXPECTED, [("node", "VARCHAR"), ("prev", "VARCHAR")]
         ),
         "ref_ubodt_binary_graph1": REF_UBODT_BIN_SQL,
+        "ref_astar_graph1": values_sql(ASTAR_EXPECTED, ASTAR_SCHEMA),
+        "ref_saveload_graph1": values_sql(VIEWS_EXPECTED, VIEWS_SCHEMA),
     }
 
 
@@ -666,3 +670,110 @@ def q_ref_ubodt_binary(spark, sf_dir):
     os.unlink(path)
     g.unpersist()
     return loaded
+
+
+# ------------------------------------------------- S3 A* heuristic + p2p
+# heuristic literals independently recomputed from the reference formula
+# (/root/reference/src/main.cpp:158-171 cheap-ruler, :1262-1279 __astar
+# heuristic: node-TAIL -> target-HEAD, scale factors at the target head's
+# latitude); p2p rows are the Dijkstra goldens (A* == Dijkstra by the
+# admissible-heuristic contract, main.cpp:1246-1351).
+ASTAR_SCHEMA = [("label", "VARCHAR"), ("h", "DOUBLE"), ("path", "VARCHAR"),
+                ("dist", "DOUBLE")]
+ASTAR_EXPECTED = [
+    ("h_w1_w7", 14310.261752161054, None, None),
+    ("h_w2_w7", 11834.477539415419, None, None),
+    ("h_w5_w7", 4407.612078492805, None, None),
+    ("h_w4_w2", 5497.8378206191255, None, None),
+    ("h_plane_w1_w7", 5.501518426761834, None, None),
+    ("h_missing_target", 0.0, None, None),
+    ("p2p_endpoints", None, "w1 > w2 > w5 > w7", 30.0),
+    ("p2p_endpoints_sinks", None, "w1 > w3 > w4 > w6 > w7", 33.0),
+    ("p2p_endpoints_under", None, None, None),
+]
+
+
+def _g1_endpoints(skip=("w6",)):
+    """Deterministic (head, tail) xyz per node: wi -> head (0.01i, 0.02i, i),
+    tail (0.01i+0.003, 0.02i+0.004, i+0.5); ``skip`` nodes get no endpoint
+    (exercises the admissible h=0 fallback)."""
+    out = {}
+    for i in range(1, 8):
+        name = f"w{i}"
+        if name in skip:
+            continue
+        out[name] = (
+            (0.01 * i, 0.02 * i, float(i)),
+            (0.01 * i + 0.003, 0.02 * i + 0.004, i + 0.5),
+        )
+    return out
+
+
+def q_ref_astar(spark, sf_dir):
+    """A* endpoints surface (/root/reference/src/main.cpp:606-609 dispatch,
+    :1246-1351 kernel): heuristic geometry values plus endpoints-given p2p
+    results, which must equal plain Dijkstra's."""
+    from .operators.astar import Endpoints, encode_endpoints, heuristic
+    from .operators.sssp import shortest_path
+
+    g = _g1(spark)
+    ep = encode_endpoints(g, _g1_endpoints())
+    ep_plane = Endpoints(ep.endpoints, is_wgs84=False)
+    nid = g.node_id
+    rows = [
+        ("h_w1_w7", heuristic(ep, nid("w1"), nid("w7")), None, None),
+        ("h_w2_w7", heuristic(ep, nid("w2"), nid("w7")), None, None),
+        ("h_w5_w7", heuristic(ep, nid("w5"), nid("w7")), None, None),
+        ("h_w4_w2", heuristic(ep, nid("w4"), nid("w2")), None, None),
+        ("h_plane_w1_w7", heuristic(ep_plane, nid("w1"), nid("w7")), None, None),
+        ("h_missing_target", heuristic(ep, nid("w1"), nid("w6")), None, None),
+    ]
+    cases = [
+        ("p2p_endpoints", dict(source="w1", target="w7", cutoff=40.0, endpoints=ep)),
+        ("p2p_endpoints_sinks",
+         dict(source="w1", target="w7", cutoff=40.0, endpoints=ep, sinks=["w5"])),
+        ("p2p_endpoints_under",
+         dict(source="w1", target="w7", cutoff=30.0 - 1e-3, endpoints=ep)),
+    ]
+    for label, kw in cases:
+        p = shortest_path(g, **kw)
+        if p is None:
+            rows.append((label, None, None, None))
+        else:
+            rows.append((label, None, _join(p.nodes), p.dist))
+    g.unpersist()
+    return spark.createDataFrame(rows, "label string, h double, path string, dist double")
+
+
+# --------------------------------------------------- graph save/load
+def q_ref_saveload(spark, sf_dir):
+    """Graph parquet save/load round-trip (graph.py persistence): the
+    re-loaded graph must reproduce the full views projection
+    (/root/reference/src/main.cpp:391-435 accessors) — same VALUES oracle
+    as ref_views_graph1."""
+    import tempfile
+
+    from .graph import SparkDiGraph
+
+    g = _g1(spark)
+    d = tempfile.mkdtemp(prefix="nxg_saveload_")
+    g.save(d)
+    g.unpersist()
+    g2 = SparkDiGraph.load(spark, d)
+    rows = []
+    for name, attrs in sorted(g2.nodes_map().items()):
+        rows.append(("node", name, "", attrs["length"]))
+    for (a, b) in sorted(g2.edges_map()):
+        rows.append(("edge", a, b, None))
+    for b in g2.successors("w1"):
+        rows.append(("succ", "w1", b, None))
+    for b in g2.predecessors("w7"):
+        rows.append(("pred", "w7", b, None))
+    for a, sibs in sorted(g2.sibs_under_next_map().items()):
+        for b in sorted(sibs):
+            rows.append(("sib_next", a, b, None))
+    for a, sibs in sorted(g2.sibs_under_prev_map().items()):
+        for b in sorted(sibs):
+            rows.append(("sib_prev", a, b, None))
+    g2.unpersist()
+    return spark.createDataFrame(rows, "kind string, a string, b string, length double")
