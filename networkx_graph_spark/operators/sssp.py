@@ -97,18 +97,46 @@ def bounded_sssp(
         Only the target's chain is guaranteed final — p2p callers only.
 
     Returns the converged state (qid, node, dist, prev, prev_dist [, payload]).
+
+    Job budget: exactly ONE Spark job per superstep. The state carries a
+    ``_new`` frontier flag; the improved-row count (emptiness/convergence)
+    and the per-query target hits (p2p early termination) are
+    ``Observation`` metrics collected as side effects of the single state
+    checkpoint action — no separate ``isEmpty``/frontier checkpoint/target
+    ``collect`` jobs (the same 1-job/superstep pattern as the PageRank and
+    CC kernels).
     """
+    from pyspark.sql import Observation
+
+    from ..plans.supersteps import Materializer
+
     pl = list(payload_cols)
     key = ["dist", "prev_dist", "prev", *pl]
-    state = seeds.localCheckpoint(eager=True)
-    frontier = state
+    cols = ["qid", "node", "dist", "prev", "prev_dist", *pl]
+    mat = Materializer()
+    state = mat.materialize(seeds.select(*cols).withColumn("_new", F.lit(True)))
     tbest: dict[int, float] = {}
+    tmark = None
     if targets is not None:
+        tmark = F.broadcast(
+            targets.select("qid", "node").withColumn("_is_tgt", F.lit(True))
+        )
         for r in state.join(F.broadcast(targets), ["qid", "node"]).groupBy(
             "qid"
         ).agg(F.min("dist").alias("d")).collect():
             tbest[r["qid"]] = r["d"]
+    first = True
     for _ in range(max_iter):
+        frontier = state.filter(F.col("_new")).select(*cols)
+        if targets is not None and tbest and not first:
+            # prune frontier rows strictly above their query's best target
+            # distance (reference first-pop semantics, see docstring); the
+            # seed frontier is never pruned (parity with pre-loop insertion)
+            tb = spark.createDataFrame(list(tbest.items()), "qid long, _tbest double")
+            frontier = frontier.join(F.broadcast(tb), "qid", "left").filter(
+                F.col("_tbest").isNull() | (F.col("dist") <= F.col("_tbest"))
+            ).drop("_tbest")
+        first = False
         f = frontier
         if sinks is not None:
             f = f.join(F.broadcast(sinks), ["qid", "node"], "left_anti")
@@ -141,32 +169,39 @@ def bounded_sssp(
         improved = (
             best.join(old, ["qid", "node"], "left")
             .filter(F.col("_old").isNull() | (F.struct(*key) < F.col("_old")))
-            .select("qid", "node", "dist", "prev", "prev_dist", *pl)
-            .localCheckpoint(eager=True)
+            .select(*cols)
         )
-        if improved.isEmpty():
-            break
-        state = (
+        new_state = (
             state.join(improved.select("qid", "node"), ["qid", "node"], "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .select(*cols)
+            .withColumn("_new", F.lit(False))
+            .unionByName(improved.withColumn("_new", F.lit(True)))
         )
-        frontier = improved
+        obs = Observation()
+        metric_exprs = [
+            F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt")
+        ]
         if targets is not None:
-            for r in improved.join(F.broadcast(targets), ["qid", "node"]).groupBy(
-                "qid"
-            ).agg(F.min("dist").alias("d")).collect():
-                q, d = r["qid"], r["d"]
+            new_state = new_state.join(tmark, ["qid", "node"], "left")
+            metric_exprs.append(
+                F.collect_list(
+                    F.when(F.col("_is_tgt") & F.col("_new"), F.struct("qid", "dist"))
+                ).alias("hits")
+            )
+        state = mat.materialize(
+            new_state.observe(obs, *metric_exprs).select(*cols, "_new")
+        )
+        got = obs.get
+        if got["cnt"] == 0:
+            break
+        if targets is not None:
+            for h in got["hits"]:
+                q, d = h["qid"], h["dist"]
                 if q not in tbest or d < tbest[q]:
                     tbest[q] = d
-            if tbest:
-                tb = spark.createDataFrame(
-                    list(tbest.items()), "qid long, _tbest double"
-                )
-                frontier = frontier.join(F.broadcast(tb), "qid", "left").filter(
-                    F.col("_tbest").isNull() | (F.col("dist") <= F.col("_tbest"))
-                ).drop("_tbest")
-    return state
+    out = state.select(*cols)
+    mat.release()
+    return out
 
 
 def backtrace(

@@ -179,11 +179,20 @@ def zigzag_sssp_csr(
     fn = _zigzag_local_relax_factory(num_blocks, float(cutoff), block_width)
     schema = "node long, dist double, g int, prev long"
 
-    state = spark.createDataFrame(
-        [(s, 0.0, 0, -1) for s in seed_states], schema
-    ).localCheckpoint(eager=True)
-    frontier = state
+    # one Spark job per superstep (``_new`` flag + Observation count on the
+    # checkpoint action — see bounded_sssp)
+    from pyspark.sql import Observation
+
+    from ..plans.supersteps import Materializer
+
+    cols = ["node", "dist", "g", "prev"]
+    mat = Materializer()
+    state = mat.materialize(
+        spark.createDataFrame([(s, 0.0, 0, -1) for s in seed_states], schema)
+        .withColumn("_new", F.lit(True))
+    )
     for _ in range(max_iter):
+        frontier = state.filter(F.col("_new")).select(*cols)
         msgs = (
             frontier.withColumn("_blk", blk("node"))
             .groupBy("_blk")
@@ -199,18 +208,24 @@ def zigzag_sssp_csr(
         improved = (
             best.join(old, "node", "left")
             .filter(F.col("_old").isNull() | (F.struct("dist", "g", "prev") < F.col("_old")))
-            .select("node", "dist", "g", "prev")
-            .localCheckpoint(eager=True)
+            .select(*cols)
         )
-        if improved.isEmpty():
-            break
-        state = (
+        obs = Observation()
+        state = mat.materialize(
             state.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .select(*cols)
+            .withColumn("_new", F.lit(False))
+            .unionByName(improved.withColumn("_new", F.lit(True)))
+            .observe(
+                obs,
+                F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt"),
+            )
         )
-        frontier = improved
-    return state
+        if obs.get["cnt"] == 0:
+            break
+    out = state.select(*cols)
+    mat.release()
+    return out
 
 
 def bounded_sssp_csr(
@@ -243,11 +258,20 @@ def bounded_sssp_csr(
     fn = _local_relax_factory(num_blocks, float(cutoff), block_width)
     schema = "qid long, node long, dist double, prev long, prev_dist double"
 
-    state = seeds.localCheckpoint(eager=True)
-    frontier = state
+    # one Spark job per superstep: the state carries a ``_new`` frontier
+    # flag and the improved-row count rides the checkpoint action as an
+    # Observation metric (same pattern as bounded_sssp / PageRank / CC)
+    from pyspark.sql import Observation
+
+    from ..plans.supersteps import Materializer
+
+    cols = ["qid", "node", "dist", "prev", "prev_dist"]
+    mat = Materializer()
+    state = mat.materialize(seeds.select(*cols).withColumn("_new", F.lit(True)))
     converged = False
     iters = 0
     for iters in range(1, max_iter + 1):
+        frontier = state.filter(F.col("_new")).select(*cols)
         msgs = (
             frontier.withColumn("_blk", blk("node"))
             .groupBy("_blk")
@@ -268,18 +292,24 @@ def bounded_sssp_csr(
                 F.col("_old").isNull()
                 | (F.struct("dist", "prev_dist", "prev") < F.col("_old"))
             )
-            .select("qid", "node", "dist", "prev", "prev_dist")
-            .localCheckpoint(eager=True)
+            .select(*cols)
         )
-        if improved.isEmpty():
+        obs = Observation()
+        state = mat.materialize(
+            state.join(improved.select("qid", "node"), ["qid", "node"], "left_anti")
+            .select(*cols)
+            .withColumn("_new", F.lit(False))
+            .unionByName(improved.withColumn("_new", F.lit(True)))
+            .observe(
+                obs,
+                F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt"),
+            )
+        )
+        if obs.get["cnt"] == 0:
             converged = True
             break
-        state = (
-            state.join(improved.select("qid", "node"), ["qid", "node"], "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
+    out = state.select(*cols)
+    mat.release()
     if return_info:
-        return state, converged, iters
-    return state
+        return out, converged, iters
+    return out

@@ -130,13 +130,22 @@ def zigzag_sssp(
         from .sssp_csr import zigzag_sssp_csr
 
         return zigzag_sssp_csr(spark, se, seed_states, cutoff, max_iter=max_iter)
-    state = spark.createDataFrame(
-        [(s, 0.0, 0, -1) for s in seed_states],
-        "node long, dist double, g int, prev long",
-    ).localCheckpoint(eager=True)
-    frontier = state
+    # one Spark job per superstep: ``_new`` frontier flag + Observation
+    # count on the single checkpoint action (pattern of bounded_sssp)
+    from pyspark.sql import Observation
+
+    from ..plans.supersteps import Materializer
+
+    cols = ["node", "dist", "g", "prev"]
+    mat = Materializer()
+    state = mat.materialize(
+        spark.createDataFrame(
+            [(s, 0.0, 0, -1) for s in seed_states],
+            "node long, dist double, g int, prev long",
+        ).withColumn("_new", F.lit(True))
+    )
     for _ in range(max_iter):
-        fsel = frontier.select("node", "dist", "g")
+        fsel = state.filter(F.col("_new")).select("node", "dist", "g")
         msgs = (
             fsel.join(se, fsel["node"] == se["src"])
             .select(
@@ -158,18 +167,24 @@ def zigzag_sssp(
         improved = (
             best.join(old, "node", "left")
             .filter(F.col("_old").isNull() | (F.struct("dist", "g", "prev") < F.col("_old")))
-            .select("node", "dist", "g", "prev")
-            .localCheckpoint(eager=True)
+            .select(*cols)
         )
-        if improved.isEmpty():
-            break
-        state = (
+        obs = Observation()
+        state = mat.materialize(
             state.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .select(*cols)
+            .withColumn("_new", F.lit(False))
+            .unionByName(improved.withColumn("_new", F.lit(True)))
+            .observe(
+                obs,
+                F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt"),
+            )
         )
-        frontier = improved
-    return state
+        if obs.get["cnt"] == 0:
+            break
+    out = state.select(*cols)
+    mat.release()
+    return out
 
 
 @dataclass

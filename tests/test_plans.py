@@ -42,3 +42,72 @@ def test_kernel_join_uses_partial_aggregation(spark):
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     plan = deg._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
+
+
+def _count_jobs(spark, fn):
+    """Run fn() under a dedicated job group and count the blocking driver
+    ACTIONS it scheduled. Two classes of job id are excluded, because they
+    are children of a single action, not extra barriers: (a) AQE
+    shuffle-stage materializations (AQE is disabled for the measurement),
+    (b) broadcast-exchange jobs (submitted from the broadcast thread pool;
+    their callsite is the CompletableFuture lambda)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup("jobcount"))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # group id only (setJobGroup would overwrite every job DESCRIPTION,
+    # erasing the broadcast-thread callsite we filter on)
+    sc.setLocalProperty("spark.jobGroup.id", "jobcount")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    new_ids = set(tracker.getJobIdsForGroup("jobcount")) - before
+    store = sc._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    actions = 0
+    for i in range(jobs.size()):
+        j = jobs.apply(i)
+        if j.jobId() not in new_ids:
+            continue
+        desc = j.description().get() if j.description().isDefined() else j.name()
+        if "CompletableFuture" not in desc:
+            actions += 1
+    return actions
+
+
+def test_sssp_one_job_per_superstep(spark):
+    """The SSSP kernel must schedule exactly one Spark job per superstep
+    (+1 for the seed checkpoint): convergence count and p2p target hits
+    ride the state-checkpoint action as Observation metrics, never as
+    separate isEmpty/collect jobs."""
+    from networkx_graph_spark.operators.sssp import bounded_sssp
+
+    # chain 0->1->...->6: 6 improving supersteps + 1 confirming round
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)], "src long, dst long, weight double"
+    )
+    seeds = spark.createDataFrame(
+        [(0, 0, 0.0, -1, float("-inf"))],
+        "qid long, node long, dist double, prev long, prev_dist double",
+    )
+    jobs = _count_jobs(
+        spark, lambda: bounded_sssp(spark, edges, seeds, cutoffs=100.0).collect()
+    )
+    # 1 seed checkpoint + 7 supersteps + 1 final collect
+    assert jobs <= 9, f"expected <=9 jobs (1 seed + 7 supersteps + collect), got {jobs}"
+
+
+def test_pagerank_one_job_per_superstep(spark):
+    """PageRank at fuse=1: one job per iteration plus fixed setup jobs
+    (vertex count, edge persist count, dangling count)."""
+    from networkx_graph_spark.kernels.pagerank import pagerank
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (5, 0)], "src long, dst long"
+    )
+    jobs = _count_jobs(spark, lambda: pagerank(e, tol=-1.0, max_iter=5).state.collect())
+    # 3 setup counts + 1 init checkpoint + 5 supersteps + 1 collect = 10
+    assert jobs <= 10, f"expected <=10 jobs, got {jobs}"
