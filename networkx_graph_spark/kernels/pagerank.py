@@ -71,6 +71,14 @@ def pagerank(
     if fuse < 1:
         raise ValueError("fuse must be >= 1")
     runner = runner or SuperstepRunner(spark)
+    durable = runner.wants_step_persist()
+    if durable:
+        if runner.bucket_cols != ["id"] or runner.bucket_count != num_partitions:
+            raise ValueError(
+                "durable co-partitioned PageRank needs "
+                f"bucket_cols=['id'], bucket_count={num_partitions} "
+                f"(got {runner.bucket_cols}, {runner.bucket_count})"
+            )
 
     edges = edges.select("src", "dst").distinct()
     vertices = (
@@ -183,7 +191,15 @@ def pagerank(
                 ).alias("dm"),
             )
             sub_obs.append(obs)
-        new_state = mat.materialize(cur.repartition(num_partitions, "id"))
+        clustered = cur.repartition(num_partitions, "id")
+        if durable:
+            # the bucketed write IS the superstep action: Observation
+            # metrics ride it, and the read-back scan keeps
+            # hashpartitioning(id) so the next superstep's joins need no
+            # vertex-state exchange
+            new_state = runner.persist_state(clustered, name, i)
+        else:
+            new_state = mat.materialize(clustered)
         subs = [o.get for o in sub_obs]
         dm_holder["dm"] = subs[-1]["dm"]
         return new_state, {
@@ -193,6 +209,7 @@ def pagerank(
             "fused": k,
             "n": n,
             "_checkpointed": True,
+            "_durable": durable,
         }
 
     outer_max = (max_iter + fuse - 1) // fuse

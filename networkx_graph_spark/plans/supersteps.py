@@ -86,15 +86,36 @@ def _free_checkpoint(df: DataFrame) -> None:
 
 
 class SuperstepRunner:
+    """``bucket_cols``/``bucket_count``: durable CO-PARTITIONED checkpoints.
+    A plain parquet checkpoint (and ``localCheckpoint``) erases the state's
+    hash partitioning, so every subsequent superstep re-exchanges the
+    vertex state before its id-keyed join. With bucketing enabled, each
+    checkpoint writes a bucketed external table (Spark bucketing uses the
+    same ``pmod(murmur3)`` placement as shuffle hash partitioning), and the
+    read-back scan reports ``HashPartitioning(bucket_cols, bucket_count)``
+    — the next superstep's join on those columns needs NO exchange on the
+    state side. ``bucket_count`` must equal the kernel's shuffle partition
+    count for the other join sides to align. This is also the real
+    cluster-scale checkpoint/resume story: durable files + catalog table +
+    per-partition placement preserved across the restart boundary."""
+
     def __init__(
         self,
         spark: SparkSession,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 1,
+        bucket_cols: Optional[list[str]] = None,
+        bucket_count: Optional[int] = None,
     ):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
+        if (bucket_cols is None) != (bucket_count is None):
+            raise ValueError("bucket_cols and bucket_count must be set together")
+        if bucket_cols is not None and checkpoint_dir is None:
+            raise ValueError("bucketed checkpoints need a checkpoint_dir")
+        self.bucket_cols = list(bucket_cols) if bucket_cols else None
+        self.bucket_count = bucket_count
 
     # ------------------------------------------------------------ plumbing
     def _job_dir(self, name: str) -> str:
@@ -125,15 +146,67 @@ class SuperstepRunner:
         return max(done) if done else None
 
     def resume(self, name: str) -> Optional[tuple[DataFrame, int]]:
-        """(state, next_iteration) from the newest durable checkpoint."""
+        """(state, next_iteration) from the newest durable checkpoint.
+        Prefers the bucketed catalog table when it still exists (same-
+        session resume keeps co-partitioning); a fresh process falls back
+        to the plain parquet files — correct, re-exchanged once."""
         i = self.latest_checkpoint(name)
         if i is None:
             return None
+        if self.bucket_cols is not None:
+            tbl = self._table_name(name, i)
+            try:
+                if self.spark.catalog.tableExists(tbl):
+                    return self.spark.table(tbl), i + 1
+            except Exception:
+                pass
         return self.spark.read.parquet(self._iter_dir(name, i)), i + 1
 
+    def wants_step_persist(self) -> bool:
+        """True when the kernel should route its per-superstep
+        materialization through ``persist_state`` so the durable bucketed
+        write IS the superstep action (Observation metrics ride it) — no
+        extra localCheckpoint copy of the state."""
+        return self.bucket_cols is not None
+
+    def _table_name(self, name: str, i: int) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in name)
+        return f"ckpt_{safe}_{i:05d}"
+
+    def persist_state(self, state: DataFrame, name: str, i: int) -> DataFrame:
+        """Write ``state`` as a bucketed external table under the iteration
+        dir and return the bucketed scan. The caller must pre-cluster the
+        plan on ``bucket_cols`` (e.g. ``repartition(bucket_count, *cols)``)
+        so each task writes exactly one bucket file. Drops the i-2 catalog
+        entry (files stay on disk for resume)."""
+        if not self.wants_step_persist():
+            raise RuntimeError("persist_state requires bucketed checkpoints")
+        path = self._iter_dir(name, i)
+        tbl = self._table_name(name, i)
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            state.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(self.bucket_count, *self.bucket_cols)
+            .saveAsTable(tbl)
+        )
+        if i >= 2:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(name, i - 2)}")
+        return self.spark.table(tbl)
+
     def _persist(
-        self, state: DataFrame, name: str, i: int, pre_checkpointed: bool = False
+        self,
+        state: DataFrame,
+        name: str,
+        i: int,
+        pre_checkpointed: bool = False,
+        durable: bool = False,
     ) -> DataFrame:
+        if durable:
+            # step_fn already persisted via persist_state (bucketed write
+            # was the superstep action) — nothing left to do
+            return state
         if self.checkpoint_dir is not None and i % self.checkpoint_every == 0:
             path = self._iter_dir(name, i)
             state.write.mode("overwrite").parquet(path)
@@ -176,7 +249,10 @@ class SuperstepRunner:
             t0 = time.time()
             new_state, metrics = step_fn(state, i)
             pre_ck = bool(metrics.pop("_checkpointed", False))
-            new_state = self._persist(new_state, name, i, pre_checkpointed=pre_ck)
+            durable = bool(metrics.pop("_durable", False))
+            new_state = self._persist(
+                new_state, name, i, pre_checkpointed=pre_ck, durable=durable
+            )
             dt = time.time() - t0
             rec = {
                 "name": name,

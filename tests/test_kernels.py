@@ -313,3 +313,100 @@ def test_cc_blocked_raises_on_max_iter_exhaustion(spark):
     assert ok.converged and ok.iterations >= 1
     with _pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(e, algorithm="blocked", max_iter=1)
+
+
+def test_pagerank_durable_bucketed_checkpoints(spark, edges_df, tmp_path):
+    """Durable bucketed checkpoints must (a) keep results identical,
+    (b) read back with hashpartitioning(id) so the next superstep's
+    id-keyed joins need no vertex-state exchange, (c) resume."""
+    import os
+    import shutil
+
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = str(tmp_path / "ckb")
+    r = SuperstepRunner(
+        spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts
+    )
+    res = pagerank(edges_df, tol=-1.0, max_iter=6, runner=r, name="prb")
+    a = {row["id"]: row["rank"] for row in res.state.collect()}
+    plain = pagerank(edges_df, tol=-1.0, max_iter=6)
+    b = {row["id"]: row["rank"] for row in plain.state.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+    # co-partitioning evidence: an id-keyed non-broadcast join of two
+    # checkpoint scans plans with bucketed scans and NO shuffle exchange
+    # (broadcast is disabled for the probe — at cluster scale the vertex
+    # state is never broadcastable, which is exactly when bucketing pays)
+    tbls = sorted(
+        t.name for t in spark.catalog.listTables() if t.name.startswith("ckpt_prb_")
+    )
+    assert tbls, "bucketed checkpoint tables missing"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table(tbls[-1])
+        joined = t.alias("x").join(spark.table(tbls[-1]).alias("y"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan
+
+    # full superstep shape: state ⋈ cedges -> groupBy(id) -> ⋈ state.
+    # With the bucketed state the ONLY shuffle left is the contribution
+    # aggregation (inherent); the two vertex-state exchanges are gone.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+
+        nparts2 = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        st = spark.table(tbls[-1])
+        ce = (
+            edges_df.select("src", "dst", F.lit(0.5).alias("inv_deg"))
+            .repartition(nparts2, "src")
+            .persist()
+        )
+        ce.count()
+        contribs = (
+            st.join(ce, st["id"] == ce["src"])
+            .select(ce["dst"].alias("id"), (st["rank"] * ce["inv_deg"]).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        step_plan = (
+            st.join(contribs, "id", "left")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        ce.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    # the cached cedges' one-time build plan (REPARTITION_BY_NUM, echoed
+    # inside InMemoryRelation) is not a per-superstep shuffle — count only
+    # the live ENSURE_REQUIREMENTS exchanges the superstep would run
+    n_exchanges = sum(
+        1
+        for ln in step_plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+    )
+    assert n_exchanges == 1, f"expected 1 exchange (contribution agg), got {n_exchanges}\n{step_plan}"
+    assert "Bucketed: true" in step_plan
+
+    # resume: crash after iteration 2 (catalog entry for it was already
+    # rotated away -> parquet fallback), rerun to 6, identical ranks
+    for entry in os.listdir(os.path.join(d, "prb")):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > 2:
+            shutil.rmtree(os.path.join(d, "prb", entry))
+    r2 = SuperstepRunner(
+        spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts
+    )
+    resumed = pagerank(
+        edges_df, tol=-1.0, max_iter=6, runner=r2, name="prb", resume=True
+    )
+    c = {row["id"]: row["rank"] for row in resumed.state.collect()}
+    assert set(a) == set(c)
+    assert all(abs(a[k] - c[k]) < 1e-12 for k in a)
+    for t in tbls:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
