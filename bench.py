@@ -102,7 +102,10 @@ def bench_pagerank_tri_convergence(spark, results):
     edges = tri_edges(spark, SF_DIR).persist()
     n_edges = edges.count()
     t0 = time.time()
-    res = pagerank(edges, tol=1e-9, max_iter=60, fuse=2)
+    # partitions sized to the graph (~750k edges at sf0.1), not the core
+    # count — the convergence run is superstep-latency-bound and oversized
+    # stages only add scheduling overhead (PLANS.md "fusion depth")
+    res = pagerank(edges, tol=1e-9, max_iter=60, fuse=2, num_partitions=16)
     dt = time.time() - t0
     edges.unpersist()
     results["extra"]["pagerank_tri_iters"] = res.iterations
