@@ -76,6 +76,33 @@ def cosine_topk(
     )
 
 
+def auto_num_planes(n_vectors: int, target_bucket_size: int = 256) -> int:
+    """Corpus-size-aware hyperplane count: expected bucket population is
+    ``n / 2^planes``, so ``planes = ceil(log2(n / B))`` keeps candidate
+    generation bounded. This matters quadratically for near-dup pair
+    enumeration (within-bucket pairs are O(B²) — a FIXED plane count goes
+    quadratic as the corpus grows: 12 planes is 4096 buckets, fine at 10^5
+    vectors, hopeless at 10^10) and linearly for top-k probing. Recall is
+    then recovered structurally (multi-probe / more bands), not by letting
+    buckets grow. Floor of 4 keeps tiny corpora from degenerating to a
+    handful of mega-buckets with no selectivity."""
+    if n_vectors <= 0:
+        return 4
+    return max(4, math.ceil(math.log2(max(1.0, n_vectors / target_bucket_size))))
+
+
+def auto_n_centroids(n_vectors: int, nprobe: int = 4) -> int:
+    """IVF centroid count: the classic ``k ≈ sqrt(n)`` balances the
+    broadcast centroid scan per query (O(k·dim)) against per-cluster
+    candidate size (O(n/k)); with ``nprobe`` probes each query touches
+    ``nprobe·n/k`` vectors. Clamped to [8, 65536]: beyond 64k centroids
+    the Lloyd partial-sum collect (k×dim doubles) stops being
+    driver-trivial and a hierarchical (IVF-in-IVF) fit is the right tool."""
+    if n_vectors <= 0:
+        return 8
+    return int(min(65536, max(8, round(math.sqrt(n_vectors)))))
+
+
 def _planes(seed: int, num_planes: int, dim: int):
     """Deterministic pseudo-random hyperplanes: unit-free gaussian-ish
     values from hashed bytes (Box-Muller over blake2b-derived uniforms)."""
