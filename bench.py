@@ -236,6 +236,8 @@ BENCHES = {
 # scaling_run.py protocol), the rest one sample. Override: BENCH_RUNS=3.
 MULTI_RUN = {
     "pagerank_powerlaw": 3,
+    "pagerank_16m": 3,
+    "pagerank_tri": 3,
     "cc_powerlaw": 3,
     "minhash_dedup": 3,
     "cosine_topk": 3,
