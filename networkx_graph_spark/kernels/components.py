@@ -122,6 +122,12 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     runner = runner or SuperstepRunner(spark)
+    durable = runner.wants_step_persist()
+    if durable and (runner.bucket_cols != ["id"] or runner.bucket_count != num_partitions):
+        raise ValueError(
+            "durable co-partitioned CC needs bucket_cols=['id'], "
+            f"bucket_count={num_partitions}"
+        )
     sym = _sym(edges).repartition(num_partitions, "src").persist()
     sym.count()
     mat = Materializer()
@@ -158,16 +164,25 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
             .repartition(num_partitions, "id")
         )
         obs = Observation()
-        new_state = mat.materialize(
-            new_state.observe(
-                obs,
-                F.coalesce(
-                    F.sum((F.col("component") != F.col("prev_component")).cast("long")),
-                    F.lit(0),
-                ).alias("changed"),
-            )
-        )
-        return new_state, {"changed": obs.get["changed"], "_checkpointed": True}
+        observed = new_state.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("component") != F.col("prev_component")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
+        ).select("id", "component")
+        if durable:
+            # bucketed write = the superstep action; the read-back scan
+            # keeps hashpartitioning(id), so the next round's state join
+            # needs no vertex-state exchange
+            new_state = runner.persist_state(observed, name, i)
+        else:
+            new_state = mat.materialize(observed)
+        return new_state, {
+            "changed": obs.get["changed"],
+            "_checkpointed": True,
+            "_durable": durable,
+        }
 
     result = runner.run(
         name, init, step, max_iter=max_iter, converged_key="changed", tol=0, resume=resume

@@ -410,3 +410,59 @@ def test_pagerank_durable_bucketed_checkpoints(spark, edges_df, tmp_path):
     assert all(abs(a[k] - c[k]) < 1e-12 for k in a)
     for t in tbls:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cc_lpa_durable_bucketed_checkpoints(spark, tmp_path):
+    """Durable bucketed checkpoints for hash-min CC and LPA: identical
+    results to the plain path, and resumable."""
+    import os
+    import shutil
+
+    from networkx_graph_spark.kernels.components import connected_components
+    from networkx_graph_spark.kernels.lpa import label_propagation
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows = [(i, i + 1) for i in range(25)] + [(100, 101), (101, 102), (102, 100)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    d = str(tmp_path / "ckcc")
+
+    r = SuperstepRunner(spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts)
+    cc_d = {
+        row["id"]: row["component"]
+        for row in connected_components(
+            e, algorithm="hashmin", runner=r, name="ccd"
+        ).state.collect()
+    }
+    cc_p = {
+        row["id"]: row["component"]
+        for row in connected_components(e, algorithm="hashmin").state.collect()
+    }
+    assert cc_d == cc_p
+
+    r2 = SuperstepRunner(spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts)
+    lpa_d = {
+        row["id"]: row["label"]
+        for row in label_propagation(e, max_iter=4, runner=r2, name="lpad").state.collect()
+    }
+    lpa_p = {
+        row["id"]: row["label"]
+        for row in label_propagation(e, max_iter=4).state.collect()
+    }
+    assert lpa_d == lpa_p
+
+    # resume CC from iteration 1
+    for entry in os.listdir(os.path.join(d, "ccd")):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > 1:
+            shutil.rmtree(os.path.join(d, "ccd", entry))
+    r3 = SuperstepRunner(spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts)
+    cc_r = {
+        row["id"]: row["component"]
+        for row in connected_components(
+            e, algorithm="hashmin", runner=r3, name="ccd", resume=True
+        ).state.collect()
+    }
+    assert cc_r == cc_p
+    for t in spark.catalog.listTables():
+        if t.name.startswith("ckpt_ccd_") or t.name.startswith("ckpt_lpad_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
