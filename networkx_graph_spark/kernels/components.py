@@ -219,6 +219,13 @@ def _cc_twophase(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     runner = runner or SuperstepRunner(spark)
+    if runner.wants_step_persist():
+        raise ValueError(
+            "two-phase CC state is the EDGE set (u, v), not id-keyed vertex "
+            "state — bucketed co-partitioned checkpoints apply to "
+            "algorithm='hashmin'; plain durable checkpoints (no bucket_cols) "
+            "work with twophase"
+        )
     all_vertices = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))

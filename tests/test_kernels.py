@@ -466,3 +466,17 @@ def test_cc_lpa_durable_bucketed_checkpoints(spark, tmp_path):
     for t in spark.catalog.listTables():
         if t.name.startswith("ckpt_ccd_") or t.name.startswith("ckpt_lpad_"):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_cc_twophase_rejects_bucketed_runner(spark, tmp_path):
+    import pytest as _pytest
+
+    from networkx_graph_spark.kernels.components import connected_components
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    r = SuperstepRunner(
+        spark, checkpoint_dir=str(tmp_path / "x"), bucket_cols=["id"], bucket_count=4
+    )
+    with _pytest.raises(ValueError, match="EDGE set"):
+        connected_components(e, algorithm="twophase", runner=r)
