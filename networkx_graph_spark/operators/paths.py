@@ -60,17 +60,52 @@ def _enumerate_paths(
         # root entry guard `length > cutoff` (/root/reference/src/main.cpp:1715)
         return spark.createDataFrame([], _DONE_SCHEMA)
 
-    active = spark.createDataFrame(
-        [([source_id], 0.0)], "nodes array<bigint>, length double"
+    # single flagged state (one Spark job per round — the active-row count
+    # rides the checkpoint as an Observation metric): active rows carry
+    # (nodes, length); finished rows carry (nodes, dist, end_offset)
+    from pyspark.sql import Observation
+
+    from ..plans.supersteps import Materializer
+
+    def _as_state(active_df, done_df):
+        a = active_df.select(
+            "nodes", "length",
+            F.lit(None).cast("double").alias("dist"),
+            F.lit(None).cast("double").alias("end_offset"),
+            F.lit(True).alias("_active"),
+        )
+        d = done_df.select(
+            "nodes", F.lit(None).cast("double").alias("length"),
+            "dist", "end_offset", F.lit(False).alias("_active"),
+        )
+        return a.unionByName(d)
+
+    def _active_obs(df):
+        obs = Observation()
+        return obs, df.observe(
+            obs,
+            F.coalesce(F.sum(F.col("_active").cast("long")), F.lit(0)).alias("n"),
+        )
+
+    mat = Materializer()
+    obs, observed = _active_obs(
+        _as_state(
+            spark.createDataFrame(
+                [([source_id], 0.0)], "nodes array<bigint>, length double"
+            ),
+            spark.createDataFrame([], _DONE_SCHEMA),
+        )
     )
-    done = spark.createDataFrame([], _DONE_SCHEMA)
+    state = mat.materialize(observed)
     lengths = graph.vertices.select(
         F.col("id").alias("tail"), F.col("length").alias("tail_len")
     )
 
     for it in range(max_iter):
-        if active.isEmpty():
+        if obs.get["n"] == 0:
             break
+        active = state.filter(F.col("_active")).select("nodes", "length")
+        done = state.filter(~F.col("_active")).select("nodes", "dist", "end_offset")
         rows = active.withColumn("tail", F.element_at("nodes", -1)).join(
             lengths, "tail"
         )
@@ -131,16 +166,18 @@ def _enumerate_paths(
             )
         if new_done is not None:
             done = done.unionByName(new_done)
-        active = (
+        new_active = (
             per.filter(~terminal_cond)
             .select(F.explode("cands").alias("nxt"), "nodes", "length")
             .select(
                 F.concat("nodes", F.array("nxt")).alias("nodes"), "length"
             )
-            .localCheckpoint(eager=True)
         )
-        done = done.localCheckpoint(eager=True)
-    return done
+        obs, observed = _active_obs(_as_state(new_active, done))
+        state = mat.materialize(observed)
+    out = state.filter(~F.col("_active")).select("nodes", "dist", "end_offset")
+    mat.release()
+    return out
 
 
 def _to_results(

@@ -220,8 +220,20 @@ def backtrace(
     (prev-order; callers reverse for forward paths). Iterative join — the
     loop count is the longest chain, bounded by the cutoff.
     """
+    from pyspark.sql import Observation
+
+    from ..plans.supersteps import Materializer
+
+    def _pending_obs(df):
+        obs = Observation()
+        return obs, df.observe(
+            obs,
+            F.coalesce(F.sum((~F.col("done")).cast("long")), F.lit(0)).alias("pending"),
+        )
+
     pmap = state.select("qid", F.col("node").alias("_pn"), F.col("prev").alias("_pp"))
-    cur = (
+    mat = Materializer()
+    obs, observed = _pending_obs(
         ends.join(F.broadcast(sources), "qid")
         .select(
             "qid",
@@ -231,12 +243,13 @@ def backtrace(
             "start",
         )
         .withColumn("done", F.col("head") == F.col("start"))
-        .localCheckpoint(eager=True)
     )
+    cur = mat.materialize(observed)
+    # one action per round: the pending count rides each checkpoint
     for _ in range(max_iter):
-        todo = cur.filter(~F.col("done"))
-        if todo.isEmpty():
+        if obs.get["pending"] == 0:
             break
+        todo = cur.filter(~F.col("done"))
         done_rows = cur.filter(F.col("done"))
         stepped = (
             todo.join(
@@ -263,8 +276,11 @@ def backtrace(
             )
             .drop("_miss")
         )
-        cur = done_rows.unionByName(stepped).localCheckpoint(eager=True)
-    return cur.select("qid", "node", "chain")
+        obs, observed = _pending_obs(done_rows.unionByName(stepped))
+        cur = mat.materialize(observed)
+    out = cur.select("qid", "node", "chain")
+    mat.release()
+    return out
 
 
 # --------------------------------------------------------------------------

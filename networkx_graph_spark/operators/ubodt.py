@@ -147,7 +147,21 @@ class UbodtIndex:
             F.col("source_next").alias("_n"),
             F.col("cost").alias("_c"),
         )
-        cur = (
+        from pyspark.sql import Observation
+
+        from ..plans.supersteps import Materializer
+
+        def _pending_obs(df):
+            obs = Observation()
+            return obs, df.observe(
+                obs,
+                F.coalesce(
+                    F.sum((~F.col("done")).cast("long")), F.lit(0)
+                ).alias("pending"),
+            )
+
+        mat = Materializer()
+        obs, observed = _pending_obs(
             pairs.join(
                 u, (pairs["source"] == u["_s"]) & (pairs["target"] == u["_t"])
             )
@@ -159,12 +173,13 @@ class UbodtIndex:
                 F.col("_n").alias("head"),
             )
             .withColumn("done", F.col("head") == F.col("target"))
-            .localCheckpoint(eager=True)
         )
+        cur = mat.materialize(observed)
+        # one action per round: pending count rides each checkpoint
         for _ in range(max_iter):
-            todo = cur.filter(~F.col("done"))
-            if todo.isEmpty():
+            if obs.get["pending"] == 0:
                 break
+            todo = cur.filter(~F.col("done"))
             done_rows = cur.filter(F.col("done"))
             stepped = (
                 todo.join(
@@ -186,8 +201,9 @@ class UbodtIndex:
                 )
                 .withColumn("done", F.col("head").isNull() | (F.col("head") == F.col("target")))
             )
-            cur = done_rows.unionByName(stepped).localCheckpoint(eager=True)
-        return (
+            obs, observed = _pending_obs(done_rows.unionByName(stepped))
+            cur = mat.materialize(observed)
+        out = (
             cur.filter(F.col("head").isNotNull())
             .select(
                 "qid",
@@ -195,6 +211,8 @@ class UbodtIndex:
                 F.concat("nodes", F.array("target")).alias("nodes"),
             )
         )
+        mat.release()
+        return out
 
     def by_source(
         self, source: str, cutoff: Optional[float] = None
