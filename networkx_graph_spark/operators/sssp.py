@@ -75,6 +75,9 @@ def bounded_sssp(
     max_iter: int = 10_000,
     payload_cols: Sequence[str] = (),
     targets: Optional[DataFrame] = None,
+    runner=None,
+    name: str = "sssp",
+    resume: bool = False,
 ) -> DataFrame:
     """Run the label-correcting relaxation to fixpoint.
 
@@ -105,38 +108,56 @@ def bounded_sssp(
     checkpoint action — no separate ``isEmpty``/frontier checkpoint/target
     ``collect`` jobs (the same 1-job/superstep pattern as the PageRank and
     CC kernels).
+
+    Durability (north rule): pass a ``SuperstepRunner`` with a
+    ``checkpoint_dir`` (optionally ``bucket_cols=["qid", "node"]`` for
+    co-partitioned bucketed checkpoints) plus ``name``/``resume`` to make
+    long fixpoints — the UBODT build seeds EVERY vertex — resumable
+    mid-iteration with per-superstep metrics/lineage; ``tbest`` for p2p
+    early termination is recomputed from the loaded state on resume.
     """
     from pyspark.sql import Observation
 
-    from ..plans.supersteps import Materializer
+    from ..plans.supersteps import Materializer, SuperstepRunner, _free_checkpoint
 
     pl = list(payload_cols)
     key = ["dist", "prev_dist", "prev", *pl]
     cols = ["qid", "node", "dist", "prev", "prev_dist", *pl]
+    runner = runner or SuperstepRunner(spark)
+    durable = runner.wants_step_persist()
+    if durable and runner.bucket_cols != ["qid", "node"]:
+        raise ValueError(
+            "durable co-partitioned SSSP needs bucket_cols=['qid', 'node'] "
+            f"(got {runner.bucket_cols})"
+        )
     mat = Materializer()
-    state = mat.materialize(seeds.select(*cols).withColumn("_new", F.lit(True)))
     tbest: dict[int, float] = {}
+    tb_seeded = {"done": False}
     tmark = None
     if targets is not None:
         tmark = F.broadcast(
             targets.select("qid", "node").withColumn("_is_tgt", F.lit(True))
         )
-        for r in state.join(F.broadcast(targets), ["qid", "node"]).groupBy(
-            "qid"
-        ).agg(F.min("dist").alias("d")).collect():
-            tbest[r["qid"]] = r["d"]
-    first = True
-    for _ in range(max_iter):
+    init = seeds.select(*cols).withColumn("_new", F.lit(True))
+
+    def step(state: DataFrame, i: int):
+        if targets is not None and not tb_seeded["done"]:
+            # first step (fresh or resumed): seed tbest from current state
+            for r in state.join(F.broadcast(targets), ["qid", "node"]).groupBy(
+                "qid"
+            ).agg(F.min("dist").alias("d")).collect():
+                tbest[r["qid"]] = r["d"]
+            tb_seeded["done"] = True
         frontier = state.filter(F.col("_new")).select(*cols)
-        if targets is not None and tbest and not first:
+        if targets is not None and tbest and i > 0:
             # prune frontier rows strictly above their query's best target
             # distance (reference first-pop semantics, see docstring); the
-            # seed frontier is never pruned (parity with pre-loop insertion)
+            # seed frontier (i == 0) is never pruned (parity with pre-loop
+            # insertion)
             tb = spark.createDataFrame(list(tbest.items()), "qid long, _tbest double")
             frontier = frontier.join(F.broadcast(tb), "qid", "left").filter(
                 F.col("_tbest").isNull() | (F.col("dist") <= F.col("_tbest"))
             ).drop("_tbest")
-        first = False
         f = frontier
         if sinks is not None:
             f = f.join(F.broadcast(sinks), ["qid", "node"], "left_anti")
@@ -188,18 +209,30 @@ def bounded_sssp(
                     F.when(F.col("_is_tgt") & F.col("_new"), F.struct("qid", "dist"))
                 ).alias("hits")
             )
-        state = mat.materialize(
-            new_state.observe(obs, *metric_exprs).select(*cols, "_new")
-        )
+        observed = new_state.observe(obs, *metric_exprs).select(*cols, "_new")
+        if durable:
+            # bucketed write = the superstep action (metrics ride it; the
+            # read-back keeps hashpartitioning(qid, node))
+            out_state = runner.persist_state(observed, name, i)
+        else:
+            out_state = mat.materialize(observed)
+        if i == 0:
+            # the runner's init checkpoint isn't Materializer-tracked;
+            # free it now that the first round's state is self-contained
+            # (no-op for a parquet-resumed state)
+            _free_checkpoint(state)
         got = obs.get
-        if got["cnt"] == 0:
-            break
         if targets is not None:
             for h in got["hits"]:
                 q, d = h["qid"], h["dist"]
                 if q not in tbest or d < tbest[q]:
                     tbest[q] = d
-    out = state.select(*cols)
+        return out_state, {"cnt": got["cnt"], "_checkpointed": True, "_durable": durable}
+
+    result = runner.run(
+        name, init, step, max_iter=max_iter, converged_key="cnt", tol=0, resume=resume
+    )
+    out = result.state.select(*cols)
     mat.release()
     return out
 

@@ -30,8 +30,19 @@ from ..rounding import round_col
 from .sssp import NEG_INF, PathResult, bounded_sssp
 
 
-def build_ubodt(graph: SparkDiGraph, thresh: float) -> DataFrame:
-    """-> DataFrame (source, target, source_next, target_prev, cost)."""
+def build_ubodt(
+    graph: SparkDiGraph,
+    thresh: float,
+    runner=None,
+    name: str = "ubodt",
+    resume: bool = False,
+) -> DataFrame:
+    """-> DataFrame (source, target, source_next, target_prev, cost).
+
+    The build seeds EVERY vertex (one multi-source kernel run) — at web
+    scale this is a long job; pass a ``SuperstepRunner`` with a
+    ``checkpoint_dir`` (+ ``resume=True`` after a crash) to make it
+    restartable mid-iteration (north rule)."""
     if thresh < 0:
         return graph.spark.createDataFrame(
             [],
@@ -51,6 +62,9 @@ def build_ubodt(graph: SparkDiGraph, thresh: float) -> DataFrame:
         seeds,
         float(thresh),
         payload_cols=["first_hop"],
+        runner=runner,
+        name=name,
+        resume=resume,
     )
     return (
         state.filter(F.col("node") != F.col("qid"))  # dmap.erase(start)

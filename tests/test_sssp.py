@@ -204,3 +204,83 @@ def test_p2p_early_termination_chain(spark):
     assert got[1].dist == 6.0 and len(got[1].nodes) == 8
     assert got[2] is None  # cutoff-bounded miss
     g.unpersist()
+
+
+def test_bounded_sssp_durable_resume(spark, tmp_path):
+    """Durable checkpoints + mid-iteration resume for the SSSP kernel (the
+    UBODT-build restart story): identical fixpoint, bucketed variant keeps
+    (qid, node) co-partitioning."""
+    import os
+    import shutil
+
+    from networkx_graph_spark.operators.sssp import NEG_INF, bounded_sssp
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(8)] + [(0, 5, 9.0)],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame(
+        [(0, 0, 0.0, -1, NEG_INF)],
+        "qid long, node long, dist double, prev long, prev_dist double",
+    )
+    want = {
+        (r["qid"], r["node"]): (r["dist"], r["prev"], r["prev_dist"])
+        for r in bounded_sssp(spark, edges, seeds, cutoffs=100.0).collect()
+    }
+
+    d = str(tmp_path / "cks")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    r1 = SuperstepRunner(
+        spark, checkpoint_dir=d, bucket_cols=["qid", "node"], bucket_count=nparts
+    )
+    got = {
+        (r["qid"], r["node"]): (r["dist"], r["prev"], r["prev_dist"])
+        for r in bounded_sssp(
+            spark, edges, seeds, cutoffs=100.0, runner=r1, name="sd"
+        ).collect()
+    }
+    assert got == want
+    assert os.path.exists(os.path.join(d, "sd", "metrics.jsonl"))
+
+    # crash after iteration 2, resume, same fixpoint
+    for entry in os.listdir(os.path.join(d, "sd")):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > 2:
+            shutil.rmtree(os.path.join(d, "sd", entry))
+    r2 = SuperstepRunner(
+        spark, checkpoint_dir=d, bucket_cols=["qid", "node"], bucket_count=nparts
+    )
+    resumed = {
+        (r["qid"], r["node"]): (r["dist"], r["prev"], r["prev_dist"])
+        for r in bounded_sssp(
+            spark, edges, seeds, cutoffs=100.0, runner=r2, name="sd", resume=True
+        ).collect()
+    }
+    assert resumed == want
+    for t in spark.catalog.listTables():
+        if t.name.startswith("ckpt_sd_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_build_ubodt_durable_resume(graph1, tmp_path):
+    """UBODT build through a durable runner resumes to identical records."""
+    import os
+    import shutil
+
+    from networkx_graph_spark.operators.ubodt import build_ubodt
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    spark = graph1.spark
+    want = sorted(map(tuple, build_ubodt(graph1, 100.0).collect()))
+    d = str(tmp_path / "cku")
+    r1 = SuperstepRunner(spark, checkpoint_dir=d)
+    got = sorted(map(tuple, build_ubodt(graph1, 100.0, runner=r1, name="ub").collect()))
+    assert got == want
+    for entry in os.listdir(os.path.join(d, "ub")):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > 1:
+            shutil.rmtree(os.path.join(d, "ub", entry))
+    r2 = SuperstepRunner(spark, checkpoint_dir=d)
+    resumed = sorted(
+        map(tuple, build_ubodt(graph1, 100.0, runner=r2, name="ub", resume=True).collect())
+    )
+    assert resumed == want
