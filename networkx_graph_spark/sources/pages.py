@@ -175,3 +175,20 @@ def encode_edges(
         .select("src", "dst")
     )
     return out, ids
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Format-agnostic pages reader (SURVEY §7 risk item: Iceberg at
+    design scale, parquet files as the sandbox stand-in).
+
+    - a filesystem path (contains ``/`` or ends in ``.parquet``) reads as
+      parquet;
+    - anything else resolves through the session catalog
+      (``spark.read.table``) — this is the Iceberg path: with an Iceberg
+      catalog configured (``spark.sql.catalog.<name>`` + the runtime jar),
+      a ``catalog.db.pages`` identifier Just Works, including its hidden
+      partitioning and snapshot pruning; no reader code changes.
+    """
+    if "/" in source or source.endswith(".parquet"):
+        return spark.read.parquet(source)
+    return spark.read.table(source)

@@ -81,3 +81,24 @@ def test_encode_edges(spark):
     id_vals = sorted(r["id"] for r in ids.collect())
     assert id_vals[0] == 1_000_000
     assert id_vals == list(range(1_000_000, 1_000_000 + len(id_vals)))
+
+
+def test_read_pages_format_agnostic(spark, tmp_path):
+    """read_pages resolves a filesystem path as parquet and a bare table
+    identifier through the session catalog (the Iceberg path at design
+    scale)."""
+    from networkx_graph_spark.sources.pages import read_pages
+
+    df = spark.createDataFrame([("http://a/", b"<p>hi</p>")], "url string, html binary")
+    p = str(tmp_path / "pages_pq")
+    df.write.parquet(p)
+    assert read_pages(spark, p).count() == 1
+
+    df.write.mode("overwrite").option("path", str(tmp_path / "pages_tbl")).saveAsTable(
+        "pages_fixture_tbl"
+    )
+    try:
+        got = read_pages(spark, "pages_fixture_tbl")
+        assert got.count() == 1 and set(got.columns) == {"url", "html"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_fixture_tbl")

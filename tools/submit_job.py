@@ -73,9 +73,15 @@ def main(argv=None) -> int:
     if args.edges:
         edges = spark.read.parquet(args.edges).select("src", "dst")
     else:
-        from networkx_graph_spark.sources.pages import encode_edges, pages_to_edges
+        from networkx_graph_spark.sources.pages import (
+            encode_edges,
+            pages_to_edges,
+            read_pages,
+        )
 
-        pages = spark.read.parquet(args.pages)
+        # path -> parquet; table identifier (e.g. an Iceberg
+        # catalog.db.pages) -> spark.read.table
+        pages = read_pages(spark, args.pages)
         edges, _ids = encode_edges(pages_to_edges(pages))
 
     nparts = args.num_partitions or int(
