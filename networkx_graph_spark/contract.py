@@ -195,6 +195,36 @@ FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.
 """
 
 
+def q_triangle_per_vertex(spark, sf_dir):
+    """Per-vertex triangle participation counts (K4 companion surface —
+    kernels/triangles.triangle_count_per_vertex) over the same hashed
+    edge table as triangle_count."""
+    from .kernels.triangles import triangle_count_per_vertex
+
+    li = _read(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_orderkey") % 500).alias("src"),
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey")) % 500).alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    return triangle_count_per_vertex(e)
+
+
+SQL_TRIANGLES_PER_VERTEX = f"""
+WITH e AS ({TRI_HASH_EDGES_SQL}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst AS v FROM e),
+cnt AS (
+  SELECT v, count(*) AS n FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri UNION ALL SELECT z AS v FROM tri
+  ) GROUP BY v)
+SELECT verts.v AS id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
+FROM verts LEFT JOIN cnt ON cnt.v = verts.v
+"""
+
+
 def q_sssp_dag(spark, sf_dir):
     """Bounded SSSP (reference cost semantics, unit lengths) from the
     smallest customer over the tripartite DAG, cutoff 1.5."""
@@ -1111,6 +1141,7 @@ def _base_queries() -> dict:
         "cc_blocked_geo": q_cc_blocked_geo,
         "pagerank_5iter": q_pagerank_fixed,
         "triangle_count": q_triangle_count,
+        "triangle_per_vertex": q_triangle_per_vertex,
         "sssp_dag": q_sssp_dag,
         "sssp_csr_dag": q_sssp_csr_dag,
         "ubodt_dag": q_ubodt_dag,
@@ -1162,6 +1193,7 @@ def _base_oracles() -> dict:
         "cc_blocked_geo": SQL_CC_FULL_GEO,
         "pagerank_5iter": _sql_pagerank(),
         "triangle_count": SQL_TRIANGLES,
+        "triangle_per_vertex": SQL_TRIANGLES_PER_VERTEX,
         "sssp_dag": SQL_SSSP_DAG,
         "sssp_csr_dag": SQL_SSSP_DAG,
         "ubodt_dag": SQL_UBODT_DAG,
