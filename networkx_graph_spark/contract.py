@@ -224,6 +224,52 @@ SELECT verts.v AS id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
 FROM verts LEFT JOIN cnt ON cnt.v = verts.v
 """
 
+# K4 merged surface: per-vertex counts + the global count as an id=-1
+# sentinel row (one driver row covers both kernel entry points; vertex ids
+# are non-negative, so the sentinel cannot collide)
+SQL_TRIANGLES_MERGED = f"""
+WITH e AS ({TRI_HASH_EDGES_SQL}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst AS v FROM e),
+cnt AS (
+  SELECT v, count(*) AS n FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri UNION ALL SELECT z AS v FROM tri
+  ) GROUP BY v)
+SELECT verts.v AS id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
+FROM verts LEFT JOIN cnt ON cnt.v = verts.v
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS id, (SELECT count(*) FROM tri) AS triangles
+"""
+
+
+def q_triangles_merged(spark, sf_dir):
+    """K4 through BOTH kernel entry points in one driver row: the
+    per-vertex counts (kernels/triangles.triangle_count_per_vertex) plus
+    the global triangle_count as an id=-1 sentinel row."""
+    per = q_triangle_per_vertex(spark, sf_dir)
+    tot = q_triangle_count(spark, sf_dir)
+    return per.unionByName(
+        tot.select(
+            F.lit(-1).cast("long").alias("id"),
+            F.col("n_triangles").alias("triangles"),
+        )
+    )
+
+
+def _with_variants(sql: str, variants: list[str]) -> str:
+    """Tag an oracle's rows with each variant label (cross join) — the
+    oracle counterpart of a query that runs two equivalent kernel variants
+    and must produce identical rows for each."""
+    vals = ", ".join(f"('{v}')" for v in variants)
+    return (
+        f"WITH __base AS MATERIALIZED ({sql})\n"
+        f"SELECT v.variant AS variant, b.* FROM __base b "
+        f"CROSS JOIN (VALUES {vals}) AS v(variant)"
+    )
+
 
 def q_sssp_dag(spark, sf_dir):
     """Bounded SSSP (reference cost semantics, unit lengths) from the
@@ -1125,11 +1171,41 @@ def q_zigzag_csr_dag(spark, sf_dir):
     return _zigzag_dag_impl(spark, sf_dir, use_csr=True)
 
 
+# ------------------------------------------------- merged variant rows
+# One driver row per distinct oracle: each runs BOTH equivalent kernel
+# variants (plain + block-centric CSR) and tags the rows, so the driver
+# hash-checks both against the variant-tagged oracle. Keeps the distinct
+# registered-query count within the driver's recorded-row budget without
+# dropping any surface (round-3 lesson: 53 registered, 50 recorded).
+
+
+def q_sssp_dag_merged(spark, sf_dir):
+    a = q_sssp_dag(spark, sf_dir).withColumn("variant", F.lit("label"))
+    b = q_sssp_csr_dag(spark, sf_dir).withColumn("variant", F.lit("csr"))
+    return a.unionByName(b)
+
+
+def q_cc_geo_merged(spark, sf_dir):
+    a = q_cc_full_geo(spark, sf_dir).withColumn("variant", F.lit("twophase"))
+    b = q_cc_blocked_geo(spark, sf_dir).withColumn("variant", F.lit("blocked"))
+    return a.unionByName(b)
+
+
+def q_zigzag_dag_merged(spark, sf_dir):
+    a = q_zigzag_dag(spark, sf_dir).withColumn("variant", F.lit("plain"))
+    b = q_zigzag_csr_dag(spark, sf_dir).withColumn("variant", F.lit("csr"))
+    return a.unionByName(b)
+
+
 def build_queries() -> dict:
+    """Registry order = driver record order. Unique testdata-scale and
+    pipeline surfaces first; graph1/graph2 fixture goldens last — if a
+    driver cap ever truncates the tail again, the rows that fall off are
+    fixture rows that pytest also covers, not unique surfaces."""
     from .contract_ref import ref_queries
 
-    out = ref_queries()
-    out.update(_base_queries())
+    out = _base_queries()
+    out.update(ref_queries())
     return out
 
 
@@ -1137,13 +1213,10 @@ def _base_queries() -> dict:
     return {
         "degrees": q_degrees,
         "cc_hashmin_k4": q_cc_hashmin_k,
-        "cc_full_geo": q_cc_full_geo,
-        "cc_blocked_geo": q_cc_blocked_geo,
+        "cc_full_geo": q_cc_geo_merged,
         "pagerank_5iter": q_pagerank_fixed,
-        "triangle_count": q_triangle_count,
-        "triangle_per_vertex": q_triangle_per_vertex,
-        "sssp_dag": q_sssp_dag,
-        "sssp_csr_dag": q_sssp_csr_dag,
+        "triangle_per_vertex": q_triangles_merged,
+        "sssp_dag": q_sssp_dag_merged,
         "ubodt_dag": q_ubodt_dag,
         "ref_sssp_graph1": q_ref_sssp,
         "ref_ubodt_graph1": q_ref_ubodt,
@@ -1172,16 +1245,15 @@ def _base_queries() -> dict:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "media_features": q_media_features,
-        "zigzag_dag": q_zigzag_dag,
-        "zigzag_csr_dag": q_zigzag_csr_dag,
+        "zigzag_dag": q_zigzag_dag_merged,
     }
 
 
 def build_oracles() -> dict:
     from .contract_ref import ref_oracles
 
-    out = ref_oracles()
-    out.update(_base_oracles())
+    out = _base_oracles()
+    out.update(ref_oracles())
     return out
 
 
@@ -1189,13 +1261,10 @@ def _base_oracles() -> dict:
     return {
         "degrees": SQL_DEGREES,
         "cc_hashmin_k4": _sql_cc_hashmin(),
-        "cc_full_geo": SQL_CC_FULL_GEO,
-        "cc_blocked_geo": SQL_CC_FULL_GEO,
+        "cc_full_geo": _with_variants(SQL_CC_FULL_GEO, ["twophase", "blocked"]),
         "pagerank_5iter": _sql_pagerank(),
-        "triangle_count": SQL_TRIANGLES,
-        "triangle_per_vertex": SQL_TRIANGLES_PER_VERTEX,
-        "sssp_dag": SQL_SSSP_DAG,
-        "sssp_csr_dag": SQL_SSSP_DAG,
+        "triangle_per_vertex": SQL_TRIANGLES_MERGED,
+        "sssp_dag": _with_variants(SQL_SSSP_DAG, ["label", "csr"]),
         "ubodt_dag": SQL_UBODT_DAG,
         "ref_sssp_graph1": SQL_REF_SSSP,
         "ref_ubodt_graph1": SQL_REF_UBODT,
@@ -1217,8 +1286,7 @@ def _base_oracles() -> dict:
         "media_features": _sql_media_features(),
         "lpa_5iter": _sql_lpa(),
         "cc_converged": _sql_cc_converged(),
-        "zigzag_dag": _sql_zigzag_dag(),
-        "zigzag_csr_dag": _sql_zigzag_dag(),
+        "zigzag_dag": _with_variants(_sql_zigzag_dag(), ["plain", "csr"]),
         **_seeded_goldens_oracles(),
     }
 

@@ -537,6 +537,72 @@ def q_ref_attrs(spark, sf_dir):
     return spark.createDataFrame(rows, "kind string, key string, attr string, value string")
 
 
+# ------------------------------------------- L6 Path accessor signatures
+PATH_SIG_SCHEMA = [("label", "VARCHAR"), ("sig_nodes", "VARCHAR"),
+                   ("sig_start", "DOUBLE"), ("sig_end", "DOUBLE")]
+PATH_SIG_EXPECTED = [
+    # _signature = (internal Indexer ids, start_offset, end_offset)
+    # (/root/reference/src/main.cpp:2437-2443); graph1 maps w1..w7 -> 1..7
+    # (/root/reference/tests/test_basic.py:1449-1453). Offsets are the same
+    # values the frozen GEN_PATHS/P2P expected tables above pin.
+    ("paths_w4", "1|3|4", None, 10.0),
+    ("paths_w5", "1|2|5", None, 5.0),
+    ("path_w5", "1|2|5", None, 5.0),
+    ("single_w1", "1", 3.0, 7.0),
+    ("p2p_both_offsets", "1|2|5|7", 9.0, 1.0),
+    ("build", "4|6|7", 5.0, 2.0),
+    ("setitem_guard", "readonly", None, None),
+    ("dyn_attr", "42", None, None),
+]
+
+
+def q_ref_path_sig(spark, sf_dir):
+    """Path._signature / __getitem__ / __setitem__ / to_dict accessors
+    (/root/reference/src/main.cpp:2426-2551): internal-id signature tuples
+    for a fixed path set spanning the generator, p2p, and Build families,
+    plus the readonly-guard and dynamic-attr semantics."""
+    from .operators.linear import build_path
+    from .operators.sssp import shortest_path, shortest_paths
+
+    g = _g1(spark)
+
+    def sig_row(label, p):
+        ids, so, eo = p._signature
+        return (label, "|".join(str(i) for i in ids), so, eo)
+
+    rows = []
+    gen = shortest_paths(g, "w1", cutoff=20.0)
+    for p in gen.paths():
+        rows.append(sig_row(f"paths_{p.nodes[-1]}", p))
+    rows.append(sig_row("path_w5", gen.path("w5")))
+    single = shortest_paths(g, "w1", cutoff=4.0, offset=3.0).paths()[0]
+    rows.append(sig_row("single_w1", single))
+    p2p = shortest_path(
+        g, source="w1", target="w7", cutoff=33.0,
+        source_offset=9.0, target_offset=1.0,
+    )
+    rows.append(sig_row("p2p_both_offsets", p2p))
+    built = build_path(g, ["w4", "w6", "w7"], start_offset=5.0, end_offset=2.0)
+    rows.append(sig_row("build", built))
+    # __getitem__ parity rides the same row set
+    assert p2p["dist"] == p2p.dist and p2p["nodes"] == list(p2p.nodes)
+    assert p2p["start"] == (p2p.nodes[0], p2p.start_offset)
+    assert p2p["end"] == (p2p.nodes[-1], p2p.end_offset)
+    assert p2p["_signature"] == p2p._signature
+    try:
+        p2p["dist"] = 1.0
+        rows.append(("setitem_guard", "MISSING", None, None))
+    except KeyError:
+        rows.append(("setitem_guard", "readonly", None, None))
+    p2p["note"] = 42
+    assert p2p["note"] == 42 and p2p.to_dict()["note"] == 42
+    rows.append(("dyn_attr", str(p2p["note"]), None, None))
+    g.unpersist()
+    return spark.createDataFrame(
+        rows, "label string, sig_nodes string, sig_start double, sig_end double"
+    )
+
+
 # ------------------------------------------------------------- registry
 def ref_queries() -> dict:
     return {
@@ -556,6 +622,7 @@ def ref_queries() -> dict:
         "ref_ubodt_binary_graph1": q_ref_ubodt_binary,
         "ref_astar_graph1": q_ref_astar,
         "ref_saveload_graph1": q_ref_saveload,
+        "ref_path_sig_graph1": q_ref_path_sig,
     }
 
 
@@ -587,6 +654,7 @@ def ref_oracles() -> dict:
         "ref_ubodt_binary_graph1": REF_UBODT_BIN_SQL,
         "ref_astar_graph1": values_sql(ASTAR_EXPECTED, ASTAR_SCHEMA),
         "ref_saveload_graph1": values_sql(VIEWS_EXPECTED, VIEWS_SCHEMA),
+        "ref_path_sig_graph1": values_sql(PATH_SIG_EXPECTED, PATH_SIG_SCHEMA),
     }
 
 

@@ -101,7 +101,7 @@ def _shortest_one(
     if offset is not None and blist:
         matched, p = _same_node(sid, offset, blist, reverse, cutoff, name)
         if matched:
-            return p.round(graph.scale) if p is not None else None
+            return p.round(graph.scale).with_graph(graph) if p is not None else None
     if sid in sink_ids:
         return None
     edges_w = graph.edges_w_rev if reverse else graph.edges_w
@@ -156,7 +156,7 @@ def _shortest_one(
         nodes = [nm[i] for i in chain]  # already forward order [u..source]
         p = PathResult(total, nodes, c, offset)
         p.binding = (nm[u], t)
-    return p.round(graph.scale)
+    return p.round(graph.scale).with_graph(graph)
 
 
 def shortest_path_to_bindings(
@@ -220,7 +220,7 @@ def _enumerate_to_bindings(
     if offset is not None and blist:
         matched, p = _same_node(sid, offset, blist, reverse, cutoff, name)
         if matched:
-            return [p.round(graph.scale)] if p is not None else []
+            return [p.round(graph.scale).with_graph(graph)] if p is not None else []
     if sid in sink_ids:
         return []
     init_offset = 0.0
@@ -301,7 +301,7 @@ def _enumerate_to_bindings(
                 length + (tl - c), [nm[i] for i in reversed(nodes)], c, clipped
             )
             p.binding = (nm[tail], t)
-        out.append(p.round(graph.scale))
+        out.append(p.round(graph.scale).with_graph(graph))
     out.sort(key=lambda p: (p.dist, p.nodes))
     return out
 

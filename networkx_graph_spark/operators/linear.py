@@ -83,7 +83,7 @@ def build_path(
         if end_offset is not None:
             end_offset = clip(0.0, end_offset, lengths[-1])
             dist += end_offset
-    p = PathResult(dist, list(nodes), start_offset, end_offset).round(graph.scale)
+    p = PathResult(dist, list(nodes), start_offset, end_offset).round(graph.scale).with_graph(graph)
     if binding is not None:
         bnode = binding[0]
         if graph.node_id(bnode) is None:
@@ -133,7 +133,7 @@ def path_slice(graph: SparkDiGraph, path: PathResult, start: float, end: float) 
                 dist += lengths[i]
             out_nodes.append(path.nodes[idx1])
             dist += off1
-    return PathResult(dist, out_nodes, off0, off1).round(graph.scale)
+    return PathResult(dist, out_nodes, off0, off1).round(graph.scale).with_graph(graph)
 
 
 def path_offsets(graph: SparkDiGraph, path: PathResult) -> list[float]:
@@ -227,7 +227,7 @@ def search_for_seqs(
     nm = graph.names_map
     out: dict[int, list[PathResult]] = {}
     for i, seqs in search_in(head2seqs, nids, quick_return).items():
-        out[i] = [PathResult(0.0, [nm[x] for x in seq]) for seq in seqs]
+        out[i] = [PathResult(0.0, [nm[x] for x in seq]).with_graph(graph) for seq in seqs]
     return out
 
 

@@ -195,7 +195,7 @@ def _to_results(
                 [nm[i] for i in r["nodes"]],
                 start_offset,
                 r["end_offset"],
-            ).round(graph.scale)
+            ).round(graph.scale).with_graph(graph)
         )
     out.sort(key=lambda p: (p.dist, p.nodes))
     return out
@@ -224,9 +224,9 @@ def all_paths_from(
         delta = length - start_offset
         if cutoff <= delta:
             return [
-                PathResult(cutoff, [source], start_offset, start_offset + cutoff).round(
-                    graph.scale
-                )
+                PathResult(cutoff, [source], start_offset, start_offset + cutoff)
+                .round(graph.scale)
+                .with_graph(graph)
             ]
         cutoff -= delta
     sink_ids = {graph.node_id(s) for s in (sinks or [])} - {None}
@@ -260,11 +260,14 @@ def all_paths_to(
         if cutoff <= delta:
             # single-node truncated path in *reverse* space, then mirrored
             p = PathResult(cutoff, [target], rev_offset, rev_offset + cutoff)
-            return [_mirror(graph, p)]
+            return [_mirror(graph, p).with_graph(graph)]
         cutoff -= delta
     sink_ids = {graph.node_id(s) for s in (sinks or [])} - {None}
     done = _enumerate_paths(graph, tid, cutoff, reverse=True, sink_ids=sink_ids)
-    out = [_mirror(graph, p) for p in _to_results_raw(graph, done, delta, rev_offset)]
+    out = [
+        _mirror(graph, p).with_graph(graph)
+        for p in _to_results_raw(graph, done, delta, rev_offset)
+    ]
     for p in out:
         p.round(graph.scale)
     out.sort(key=lambda p: (p.dist, p.nodes))
@@ -328,7 +331,9 @@ def all_paths(
         if dist > cutoff or dist <= 0:
             return []
         return [
-            PathResult(dist, [source], source_offset, target_offset).round(graph.scale)
+            PathResult(dist, [source], source_offset, target_offset)
+            .round(graph.scale)
+            .with_graph(graph)
         ]
     delta = 0.0
     if source_offset is not None:
@@ -349,7 +354,7 @@ def all_paths(
                 [nm[i] for i in r["nodes"]],
                 source_offset,
                 target_offset,
-            ).round(graph.scale)
+            ).round(graph.scale).with_graph(graph)
         )
     out.sort(key=lambda p: (p.dist, p.nodes))
     return out

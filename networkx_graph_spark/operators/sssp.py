@@ -212,7 +212,12 @@ def bounded_sssp(
         observed = new_state.observe(obs, *metric_exprs).select(*cols, "_new")
         if durable:
             # bucketed write = the superstep action (metrics ride it; the
-            # read-back keeps hashpartitioning(qid, node))
+            # read-back keeps hashpartitioning(qid, node)); pre-cluster on
+            # the bucket cols per persist_state's contract so each task
+            # writes exactly one bucket file (not tasks x buckets smalls)
+            observed = observed.repartition(
+                runner.bucket_count, *runner.bucket_cols
+            )
             out_state = runner.persist_state(observed, name, i)
         else:
             out_state = mat.materialize(observed)
@@ -331,8 +336,60 @@ class PathResult:
     end_offset: Optional[float] = None
     binding: Optional[tuple] = None
     directions: Optional[list[int]] = None  # zigzag only
+    graph: Optional["SparkDiGraph"] = field(default=None, repr=False, compare=False)
 
-    _FIELDS = ("dist", "nodes", "start_offset", "end_offset", "binding", "directions")
+    _FIELDS = (
+        "dist", "nodes", "start_offset", "end_offset", "binding",
+        "directions", "graph",
+    )
+    # readonly keys per the reference __setitem__ guard
+    # (/root/reference/src/main.cpp:2513-2523)
+    _RESERVED = ("graph", "dist", "nodes", "_signature", "start", "end", "binding")
+
+    @property
+    def _signature(self) -> tuple:
+        """(internal node indexes, start_offset, end_offset) — the
+        reference Path._signature (/root/reference/src/main.cpp:2437-2443)
+        exposes the Indexer's int64 ids, not the string names."""
+        if self.graph is None:
+            raise RuntimeError(
+                "PathResult has no graph attached (_signature needs the "
+                "Indexer to map names back to internal ids)"
+            )
+        return (
+            tuple(self.graph.node_id(n) for n in self.nodes),
+            self.start_offset,
+            self.end_offset,
+        )
+
+    def with_graph(self, graph) -> "PathResult":
+        self.graph = graph
+        return self
+
+    def __getitem__(self, key: str):
+        """Attr-by-name access (/root/reference/src/main.cpp:2474-2510);
+        unknown keys raise KeyError like the reference's py::key_error."""
+        if key == "dist":
+            return self.dist
+        if key == "nodes":
+            return list(self.nodes)
+        if key == "_signature":
+            return self._signature
+        if key == "start":
+            return (self.nodes[0], self.start_offset)
+        if key == "end":
+            return (self.nodes[-1], self.end_offset)
+        if key == "binding":
+            return self.binding
+        if key in self.__dict__ and key not in self._FIELDS:
+            return self.__dict__[key]
+        raise KeyError(f"attribute:{key} not found")
+
+    def __setitem__(self, key: str, value):
+        if key in self._RESERVED:
+            raise KeyError(f"{key} is readonly")
+        setattr(self, key, value)
+        return value
 
     def to_dict(self) -> dict:
         d = {
@@ -440,14 +497,14 @@ class ShortestPathGen:
             so = clip(0.0, off, length)
             eo = clip(0.0, so + self.cutoff, length)
             if so < eo:
-                return [PathResult(eo - so, [node], so, eo).round(scale)]
+                return [PathResult(eo - so, [node], so, eo).round(scale).with_graph(self.graph)]
         elif self.target is not None and self.target[1] is not None:
             node, off = self.target
             length = self.graph.lengths_map[self.start_id]
             eo = clip(0.0, off, length)
             so = clip(0.0, eo - self.cutoff, length)
             if so < eo:
-                return [PathResult(eo - so, [node], so, eo).round(scale)]
+                return [PathResult(eo - so, [node], so, eo).round(scale).with_graph(self.graph)]
         return []
 
     def _decorate(self, end_id: int, chain_ids: list[int]) -> PathResult:
@@ -467,7 +524,7 @@ class ShortestPathGen:
             eo = self.target[1]
         return PathResult(
             p_dist, [nm[i] for i in nodes], so, eo
-        ).round(self.graph.scale)
+        ).round(self.graph.scale).with_graph(self.graph)
 
     def paths(self) -> list[PathResult]:
         """All leaf paths, each extended to the cutoff
@@ -604,14 +661,14 @@ def shortest_path(
     scale = graph.scale
     if sid == tid:
         if source_offset is None and target_offset is None:
-            return PathResult(0.0, [nm[sid]]).round(scale)
+            return PathResult(0.0, [nm[sid]]).round(scale).with_graph(graph)
         if source_offset is not None and target_offset is not None:
             dist = target_offset - source_offset
             if dist < 0 or dist > cutoff:
                 return None
             return PathResult(
                 dist, [nm[sid]], source_offset, target_offset
-            ).round(scale)
+            ).round(scale).with_graph(graph)
         return None
     delta = 0.0
     if source_offset is not None:
@@ -652,7 +709,7 @@ def shortest_path(
     nodes = [nm[i] for i in reversed(chain)]
     return PathResult(
         rows[tid]["dist"] + delta, nodes, source_offset, target_offset
-    ).round(scale)
+    ).round(scale).with_graph(graph)
 
 
 def shortest_paths_pairs(
@@ -694,13 +751,13 @@ def shortest_paths_pairs(
             target_offset = clip(0.0, target_offset, lm[tid])
         if sid == tid:
             if source_offset is None and target_offset is None:
-                results[qid] = PathResult(0.0, [nm[sid]]).round(scale)
+                results[qid] = PathResult(0.0, [nm[sid]]).round(scale).with_graph(graph)
             elif source_offset is not None and target_offset is not None:
                 dist = target_offset - source_offset
                 if 0 <= dist <= cutoff:
                     results[qid] = PathResult(
                         dist, [nm[sid]], source_offset, target_offset
-                    ).round(scale)
+                    ).round(scale).with_graph(graph)
             continue
         if sid in sink_ids:
             continue
@@ -762,5 +819,5 @@ def shortest_paths_pairs(
             continue
         so, to = meta[qid]
         nodes = [nm[i] for i in reversed(chain)]
-        results[qid] = PathResult(dist + delta_of[qid], nodes, so, to).round(scale)
+        results[qid] = PathResult(dist + delta_of[qid], nodes, so, to).round(scale).with_graph(graph)
     return results

@@ -148,7 +148,7 @@ class UbodtIndex:
             cur = nxt["source_next"]
         nodes.append(tid)
         nm = self.graph.names_map
-        return PathResult(dist, [nm[i] for i in nodes])
+        return PathResult(dist, [nm[i] for i in nodes]).with_graph(self.graph)
 
     def paths_df(self, pairs: DataFrame, max_iter: int = 10_000) -> DataFrame:
         """Batch path reconstruction: (qid, source, target) ->

@@ -18,6 +18,7 @@ loop over DataFrame jobs. Two things make that safe at 100 TB:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -114,8 +115,24 @@ class SuperstepRunner:
             raise ValueError("bucket_cols and bucket_count must be set together")
         if bucket_cols is not None and checkpoint_dir is None:
             raise ValueError("bucketed checkpoints need a checkpoint_dir")
+        if bucket_cols is not None and self.checkpoint_every != 1:
+            # Bucketed mode's whole point is that EVERY superstep's state
+            # lands co-partitioned; skipping iterations would route the
+            # off-cadence states through localCheckpoint, erasing the
+            # partitioning the next join depends on. Reject rather than
+            # silently ignore the cadence.
+            raise ValueError("bucketed checkpoints imply checkpoint_every=1")
         self.bucket_cols = list(bucket_cols) if bucket_cols else None
         self.bucket_count = bucket_count
+        # Catalog-entry namespace: two runs sharing a kernel name (or the
+        # same name under different checkpoint dirs) must not DROP each
+        # other's ckpt_* tables mid-run. The digest is a pure function of
+        # the checkpoint dir, so same-session resume still finds its table.
+        self._ns = (
+            hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+            if checkpoint_dir is not None
+            else ""
+        )
 
     # ------------------------------------------------------------ plumbing
     def _job_dir(self, name: str) -> str:
@@ -171,7 +188,7 @@ class SuperstepRunner:
 
     def _table_name(self, name: str, i: int) -> str:
         safe = "".join(c if c.isalnum() else "_" for c in name)
-        return f"ckpt_{safe}_{i:05d}"
+        return f"ckpt_{self._ns}_{safe}_{i:05d}"
 
     def persist_state(self, state: DataFrame, name: str, i: int) -> DataFrame:
         """Write ``state`` as a bucketed external table under the iteration

@@ -181,7 +181,9 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """Format-agnostic pages reader (SURVEY §7 risk item: Iceberg at
     design scale, parquet files as the sandbox stand-in).
 
-    - a filesystem path (contains ``/`` or ends in ``.parquet``) reads as
+    - a filesystem path (contains ``/``, ends in ``.parquet``, or simply
+      EXISTS on the local filesystem — a bare relative dir like
+      ``pages_dir`` must not be misread as a catalog identifier) reads as
       parquet;
     - anything else resolves through the session catalog
       (``spark.read.table``) — this is the Iceberg path: with an Iceberg
@@ -189,6 +191,8 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
       a ``catalog.db.pages`` identifier Just Works, including its hidden
       partitioning and snapshot pruning; no reader code changes.
     """
-    if "/" in source or source.endswith(".parquet"):
+    import os
+
+    if "/" in source or source.endswith(".parquet") or os.path.exists(source):
         return spark.read.parquet(source)
     return spark.read.table(source)

@@ -341,7 +341,9 @@ def test_pagerank_durable_bucketed_checkpoints(spark, edges_df, tmp_path):
     # (broadcast is disabled for the probe — at cluster scale the vertex
     # state is never broadcastable, which is exactly when bucketing pays)
     tbls = sorted(
-        t.name for t in spark.catalog.listTables() if t.name.startswith("ckpt_prb_")
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ckpt_") and "_prb_" in t.name
     )
     assert tbls, "bucketed checkpoint tables missing"
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -464,7 +466,7 @@ def test_cc_lpa_durable_bucketed_checkpoints(spark, tmp_path):
     }
     assert cc_r == cc_p
     for t in spark.catalog.listTables():
-        if t.name.startswith("ckpt_ccd_") or t.name.startswith("ckpt_lpad_"):
+        if t.name.startswith("ckpt_") and ("_ccd_" in t.name or "_lpad_" in t.name):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 

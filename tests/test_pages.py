@@ -102,3 +102,20 @@ def test_read_pages_format_agnostic(spark, tmp_path):
         assert got.count() == 1 and set(got.columns) == {"url", "html"}
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_fixture_tbl")
+
+
+def test_read_pages_bare_relative_dir(spark):
+    """A bare relative directory name (no '/', no .parquet suffix) that
+    exists on the filesystem reads as parquet, not as a catalog
+    identifier."""
+    import shutil
+
+    from networkx_graph_spark.sources.pages import read_pages
+
+    name = "pages_probe_dir_fixture"
+    df = spark.createDataFrame([("http://a/", b"<p>hi</p>")], "url string, html binary")
+    df.write.mode("overwrite").parquet(name)
+    try:
+        assert read_pages(spark, name).count() == 1
+    finally:
+        shutil.rmtree(name, ignore_errors=True)

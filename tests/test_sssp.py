@@ -258,7 +258,7 @@ def test_bounded_sssp_durable_resume(spark, tmp_path):
     }
     assert resumed == want
     for t in spark.catalog.listTables():
-        if t.name.startswith("ckpt_sd_"):
+        if t.name.startswith("ckpt_") and "_sd_" in t.name:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
 

@@ -73,3 +73,19 @@ def test_submit_pagerank_pyfiles(spark, tmp_path):
     assert all(abs(got[k] - expect[k]) < 1e-12 for k in got)
     # durable metrics/lineage were written by the submitted job
     assert os.path.exists(os.path.join(ckpt, "pagerank", "metrics.jsonl"))
+
+
+def test_submit_cli_rejects_invalid_combinations(tmp_path):
+    """Argument combinations the library would reject at runtime fail fast
+    at the CLI (before any session or input scan comes up)."""
+    from tools.submit_job import main
+
+    base = ["--edges", "x", "--output", str(tmp_path / "o")]
+    ck = ["--checkpoint-dir", str(tmp_path / "ck")]
+    # twophase (the default) and blocked CC reject bucketed runners
+    assert main(["cc", *base, *ck, "--bucketed"]) == 2
+    assert main(["cc", *base, *ck, "--bucketed", "--algorithm", "blocked"]) == 2
+    # blocked CC cannot resume
+    assert main(["cc", *base, *ck, "--resume", "--algorithm", "blocked"]) == 2
+    # bucketed implies checkpoint-every 1
+    assert main(["pagerank", *base, *ck, "--bucketed", "--checkpoint-every", "2"]) == 2

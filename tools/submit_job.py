@@ -60,6 +60,30 @@ def main(argv=None) -> int:
     if bool(args.edges) == bool(args.pages):
         print("exactly one of --edges / --pages is required", file=sys.stderr)
         return 2
+    if args.bucketed and args.checkpoint_every != 1:
+        print(
+            "--bucketed implies --checkpoint-every 1 (every superstep's "
+            "state must land co-partitioned)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.kernel == "cc":
+        # the library enforces these at call time; fail fast at the CLI
+        # instead of after the session + input scan are up
+        if args.bucketed and args.algorithm in ("twophase", "blocked"):
+            print(
+                f"--bucketed is not supported with cc --algorithm "
+                f"{args.algorithm} (its state is not vertex-keyed); use "
+                f"--algorithm hashmin",
+                file=sys.stderr,
+            )
+            return 2
+        if args.resume and args.algorithm == "blocked":
+            print(
+                "--resume is not supported with cc --algorithm blocked",
+                file=sys.stderr,
+            )
+            return 2
 
     # On a cluster, spark-submit provides the session; getOrCreate attaches
     # to it. Local smoke runs get a plain builder with sane defaults.
