@@ -241,7 +241,12 @@ MULTI_RUN = {
     "cc_powerlaw": 3,
     "minhash_dedup": 3,
     "cosine_topk": 3,
-    "sssp_tri": 3,
+    # the two queries most exposed to shared-host noise get extra samples:
+    # they are short (2-13 s), so one external burst mid-sample flips the
+    # median (r3 driver recorded 12.8 s sssp_tri / 2.4 s pages_ingest vs
+    # 10.8 s / 1.15 s on the same code quiet-host)
+    "sssp_tri": 5,
+    "pages_ingest": 3,
 }
 
 
@@ -274,6 +279,12 @@ def main():
         total += med
         if len(samples[name]) > 1:
             results["extra"][f"{name}_samples"] = samples[name]
+    try:
+        # host-contention context for reading the numbers (the shared VM
+        # swings ±40%: NOTES bench-noise protocol)
+        results["extra"]["loadavg_end"] = open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        pass
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall_seconds",

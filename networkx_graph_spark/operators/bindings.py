@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..graph import SparkDiGraph
 from ..rounding import clip
 from .paths import all_paths_from, all_paths_to
-from .sssp import NEG_INF, STATE_SCHEMA, PathResult, bounded_sssp
+from .sssp import NEG_INF, PathResult, bounded_sssp
 
 Binding = tuple[float, float, object]
 
@@ -85,46 +85,22 @@ def _same_node(
     return False, None
 
 
-def _shortest_one(
+def _finish_one(
     graph: SparkDiGraph,
+    rows: dict[int, dict],
     sid: int,
     offset: Optional[float],
     cutoff: float,
     b: dict[int, list[Binding]],
-    sink_ids: set[int],
+    binding_nodes: set[int],
     reverse: bool,
 ) -> Optional[PathResult]:
+    """Candidate selection + backtrace over one query's converged state:
+    ``argmin (dist, node)`` over reached binding nodes == Dijkstra's
+    first-pop (/root/reference/src/main.cpp:1552-1582), then the
+    total-cost check with NO fallthrough to the next candidate."""
     nm = graph.names_map
     lm = graph.lengths_map
-    name = nm[sid]
-    blist = b.get(sid)
-    if offset is not None and blist:
-        matched, p = _same_node(sid, offset, blist, reverse, cutoff, name)
-        if matched:
-            return p.round(graph.scale).with_graph(graph) if p is not None else None
-    if sid in sink_ids:
-        return None
-    edges_w = graph.edges_w_rev if reverse else graph.edges_w
-    succ = [r["dst"] for r in edges_w.filter(F.col("src") == sid).select("dst").collect()]
-    if not succ:
-        return None
-    init_offset = 0.0
-    if offset is not None:
-        # raw offset, no clip (/root/reference/src/main.cpp:1535-1538)
-        init_offset = offset if reverse else lm[sid] - offset
-    spark = graph.spark
-    seeds = spark.createDataFrame(
-        [(0, v, init_offset, sid, NEG_INF) for v in succ], STATE_SCHEMA
-    )
-    binding_nodes = {n for n, lst in b.items() if lst and n != sid}
-    barrier = sink_ids | binding_nodes
-    sinks_df = (
-        spark.createDataFrame([(0, n) for n in barrier], "qid long, node long")
-        if barrier
-        else None
-    )
-    state = bounded_sssp(spark, edges_w, seeds, float(cutoff), sinks_df)
-    rows = {r["node"]: r for r in state.collect()}
     cands = sorted(
         (r["dist"], n)
         for n, r in rows.items()
@@ -159,6 +135,116 @@ def _shortest_one(
     return p.round(graph.scale).with_graph(graph)
 
 
+def _shortest_many(
+    graph: SparkDiGraph,
+    queries: list[tuple[str, Optional[float]]],
+    cutoff: float,
+    b: dict[int, list[Binding]],
+    sink_ids: set[int],
+    reverse: bool,
+) -> list[Optional[PathResult]]:
+    """qid-batched binding search: ALL queries advance through ONE
+    multi-source run of the bounded-SSSP kernel (binding nodes as per-qid
+    barriers), then per-query argmin + backtrace driver-side. One Spark
+    fixpoint for |Q| queries instead of |Q| sequential kernels — the same
+    batching shape as ``shortest_paths_pairs``."""
+    nm = graph.names_map
+    lm = graph.lengths_map
+    out: list[Optional[PathResult]] = [None] * len(queries)
+    pend: list[tuple[int, int, float]] = []
+    for qid, (source, offset) in enumerate(queries):
+        sid = graph.node_id(source)
+        if sid is None or sid not in lm:
+            continue
+        blist = b.get(sid)
+        if offset is not None and blist:
+            matched, p = _same_node(sid, offset, blist, reverse, cutoff, nm[sid])
+            if matched:
+                out[qid] = (
+                    p.round(graph.scale).with_graph(graph) if p is not None else None
+                )
+                continue
+        if sid in sink_ids:
+            continue
+        init_offset = 0.0
+        if offset is not None:
+            # raw offset, no clip (/root/reference/src/main.cpp:1535-1538)
+            init_offset = offset if reverse else lm[sid] - offset
+        pend.append((qid, sid, float(init_offset)))
+    if not pend:
+        return out
+    spark = graph.spark
+    edges_w = graph.edges_w_rev if reverse else graph.edges_w
+    src_df = spark.createDataFrame(pend, "qid long, sid long, ioff double")
+    # distributed seeding: successors of every source in one broadcast
+    # join (no per-query driver collect)
+    seeds = F.broadcast(src_df).join(
+        edges_w, F.col("sid") == edges_w["src"]
+    ).select(
+        "qid",
+        edges_w["dst"].alias("node"),
+        F.col("ioff").alias("dist"),
+        F.col("sid").alias("prev"),
+        F.lit(NEG_INF).alias("prev_dist"),
+    )
+    binding_nodes = {n for n, lst in b.items() if lst}
+    barrier = sink_ids | binding_nodes
+    sinks_df = None
+    if barrier:
+        bar_df = spark.createDataFrame([(x,) for x in barrier], "node long")
+        # per-qid barrier: every sink/binding node EXCEPT the query's own
+        # source (a binding source never barriers its own walk,
+        # /root/reference/src/main.cpp:1540-1545)
+        sinks_df = (
+            src_df.select("qid", "sid")
+            .crossJoin(bar_df)
+            .filter(F.col("node") != F.col("sid"))
+            .select("qid", "node")
+        )
+    state = bounded_sssp(spark, edges_w, seeds, float(cutoff), sinks_df)
+    rows_by_qid: dict[int, dict[int, dict]] = {}
+    for r in state.collect():
+        rows_by_qid.setdefault(r["qid"], {})[r["node"]] = r
+    for qid, sid, _ in pend:
+        rows = rows_by_qid.get(qid)
+        if not rows:
+            continue
+        out[qid] = _finish_one(
+            graph, rows, sid, queries[qid][1], cutoff, b,
+            binding_nodes - {sid}, reverse,
+        )
+    return out
+
+
+def shortest_path_to_bindings_pairs(
+    graph: SparkDiGraph,
+    queries: list[tuple[str, Optional[float]]],
+    cutoff: float,
+    bindings: dict[int, list[Binding]],
+    direction: int = 0,
+    sinks: Optional[Sequence[str]] = None,
+) -> list[tuple[Optional[PathResult], Optional[PathResult]]]:
+    """Batched ``shortest_path_to_bindings``: one (source, offset) per
+    query, shared cutoff/bindings/sinks. Returns one (backwards, forwards)
+    pair per query — element-wise identical to calling the single-query
+    API in a loop, but each direction runs ONE qid-parallel kernel."""
+    n = len(queries)
+    if cutoff < 0 or n == 0:
+        return [(None, None)] * n
+    sink_ids = {graph.node_id(s) for s in (sinks or [])} - {None}
+    fwd = (
+        _shortest_many(graph, queries, cutoff, bindings, sink_ids, False)
+        if direction >= 0
+        else [None] * n
+    )
+    bwd = (
+        _shortest_many(graph, queries, cutoff, bindings, sink_ids, True)
+        if direction <= 0
+        else [None] * n
+    )
+    return list(zip(bwd, fwd))
+
+
 def shortest_path_to_bindings(
     graph: SparkDiGraph,
     source: str,
@@ -168,24 +254,13 @@ def shortest_path_to_bindings(
     direction: int = 0,
     sinks: Optional[Sequence[str]] = None,
 ) -> tuple[Optional[PathResult], Optional[PathResult]]:
-    """-> (backwards, forwards) (/root/reference/src/main.cpp:834-880)."""
-    if cutoff < 0:
-        return None, None
-    sid = graph.node_id(source)
-    if sid is None or sid not in graph.lengths_map:
-        return None, None
-    sink_ids = {graph.node_id(s) for s in (sinks or [])} - {None}
-    fwd = (
-        _shortest_one(graph, sid, offset, cutoff, bindings, sink_ids, False)
-        if direction >= 0
-        else None
+    """-> (backwards, forwards) (/root/reference/src/main.cpp:834-880).
+    Delegates to the qid-batched kernel with a single query — one code
+    path for both the single and batched surfaces."""
+    res = shortest_path_to_bindings_pairs(
+        graph, [(source, offset)], cutoff, bindings, direction, sinks
     )
-    bwd = (
-        _shortest_one(graph, sid, offset, cutoff, bindings, sink_ids, True)
-        if direction <= 0
-        else None
-    )
-    return bwd, fwd
+    return res[0] if res else (None, None)
 
 
 def distance_to_bindings(

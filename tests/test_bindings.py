@@ -323,3 +323,58 @@ def test_all_paths_bindings_endings_suffix_filter(graph1, bnd3):
         "binding": ("w2", (1.0, 1.0, None)),
     }
     assert len(forwards) == 1
+
+
+def test_bindings_pairs_batched_equivalence(graph1, bnd):
+    """The qid-batched kernel returns element-wise identical results to
+    the single-query API across the golden case mix (plain, offsets,
+    same-node fast path, over-cutoff, invalid source)."""
+    from networkx_graph_spark.operators.bindings import (
+        shortest_path_to_bindings_pairs,
+    )
+
+    b, _ = bnd
+    queries = [
+        ("w1", None),
+        ("w3", None),
+        ("w3", 1.0),          # same-node fast path
+        ("w3", 1.0 + 1e-8),   # epsilon past the interval
+        ("w3", 5.0),
+        ("w4", None),
+        ("w6", None),
+        ("w7", None),
+        ("nope", None),       # invalid source
+    ]
+    batched = shortest_path_to_bindings_pairs(graph1, queries, 50.0, b)
+    assert len(batched) == len(queries)
+    for (source, offset), (bwd_b, fwd_b) in zip(queries, batched):
+        bwd_s, fwd_s = shortest_path_to_bindings(graph1, source, 50.0, b, offset=offset)
+        for got, want in ((bwd_b, bwd_s), (fwd_b, fwd_s)):
+            if want is None:
+                assert got is None, (source, offset)
+            else:
+                assert got is not None and got.to_dict() == want.to_dict(), (
+                    source, offset,
+                )
+
+    # tight cutoff + sinks through the batched path
+    batched = shortest_path_to_bindings_pairs(
+        graph1, [("w1", None), ("w3", 5.0)], 2.0, b, sinks=["w3"]
+    )
+    for (source, offset), (bwd_b, fwd_b) in zip([("w1", None), ("w3", 5.0)], batched):
+        bwd_s, fwd_s = shortest_path_to_bindings(
+            graph1, source, 2.0, b, offset=offset, sinks=["w3"]
+        )
+        assert (bwd_b is None) == (bwd_s is None)
+        assert (fwd_b is None) == (fwd_s is None)
+        if fwd_s is not None:
+            assert fwd_b.to_dict() == fwd_s.to_dict()
+        if bwd_s is not None:
+            assert bwd_b.to_dict() == bwd_s.to_dict()
+
+    # negative cutoff and empty batch edge cases
+    assert shortest_path_to_bindings_pairs(graph1, queries[:2], -1.0, b) == [
+        (None, None),
+        (None, None),
+    ]
+    assert shortest_path_to_bindings_pairs(graph1, [], 10.0, b) == []
