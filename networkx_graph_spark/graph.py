@@ -68,6 +68,7 @@ class SparkDiGraph:
         round_n: Optional[int] = 3,
         indexer: Optional[Indexer] = None,
         num_partitions: Optional[int] = None,
+        edges_src_partitioned: bool = False,
     ):
         self.spark = spark
         self.round_n = round_n
@@ -78,6 +79,11 @@ class SparkDiGraph:
         )
         self.vertices = vertices
         self.edges = edges
+        # True when ``edges`` comes from a source that already REPORTS
+        # HashPartitioning(src, num_partitions) (a bucketed-table scan from
+        # ``load``): the forward ``edges_w`` build then skips its explicit
+        # repartition — zero exchanges to become traversal-ready.
+        self.edges_src_partitioned = edges_src_partitioned
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -183,14 +189,14 @@ class SparkDiGraph:
     def edges_w(self) -> DataFrame:
         """Forward traversal edges ``(src, dst, weight=length(src))``,
         hash-partitioned by src (the frontier-join key) and persisted."""
-        ew = (
-            self.edges.join(
-                self.vertices.select(F.col("id").alias("src"), F.col("length").alias("weight")),
-                "src",
-            )
-            .select("src", "dst", "weight")
-            .repartition(self.num_partitions, "src")
-        )
+        ew = self.edges.join(
+            self.vertices.select(F.col("id").alias("src"), F.col("length").alias("weight")),
+            "src",
+        ).select("src", "dst", "weight")
+        if not self.edges_src_partitioned:
+            # bucketed-scan edges already report HashPartitioning(src, P);
+            # everything else needs the explicit exchange once
+            ew = ew.repartition(self.num_partitions, "src")
         ew = ew.persist()
         ew.count()
         return ew
@@ -307,22 +313,62 @@ class SparkDiGraph:
         }
 
     # -------------------------------------------------------- persistence
-    def save(self, path: str) -> None:
+    @staticmethod
+    def _table_ns(path: str) -> str:
+        """Catalog namespace for bucketed graph tables — a pure function of
+        the save path, so a same-session (or shared-metastore) load finds
+        its tables and two graphs saved under different paths never
+        collide (same scheme as SuperstepRunner checkpoint tables)."""
+        import hashlib
+        import os
+
+        return hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
+
+    def save(self, path: str, bucketed: bool = False) -> None:
         """Persist as a parquet layout: {path}/vertices, {path}/edges,
         {path}/meta.json. Vertices/edges write hash-partitioned on their
-        join keys so a re-load starts co-located."""
+        join keys so a re-load starts co-located.
+
+        ``bucketed=True`` additionally registers both as BUCKETED external
+        tables (vertices by id, edges by src, ``num_partitions`` buckets).
+        A load that finds those catalog entries gets scans that REPORT
+        their hash partitioning, so the reloaded graph's ``edges_w`` build
+        needs no exchange at all — the cluster-restart story: with a real
+        metastore (Hive/Iceberg) the graph is traversal-ready across
+        processes for free; in this sandbox the catalog lives in the
+        session, and a fresh process falls back to the plain files
+        (correct, one exchange)."""
         import json
         import os
 
-        self.vertices.repartition(self.num_partitions, "id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "vertices"))
-        self.edges.repartition(self.num_partitions, "src").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "edges"))
+        v = self.vertices.repartition(self.num_partitions, "id")
+        e = self.edges.repartition(self.num_partitions, "src")
+        if bucketed:
+            ns = self._table_ns(path)
+            for df, name, col, sub in (
+                (v, f"graph_{ns}_vertices", "id", "vertices"),
+                (e, f"graph_{ns}_edges", "src", "edges"),
+            ):
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    df.write.mode("overwrite")
+                    .format("parquet")
+                    .option("path", os.path.join(path, sub))
+                    .bucketBy(self.num_partitions, col)
+                    .saveAsTable(name)
+                )
+        else:
+            v.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
+            e.write.mode("overwrite").parquet(os.path.join(path, "edges"))
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"round_n": self.round_n}, f)
+            json.dump(
+                {
+                    "round_n": self.round_n,
+                    "bucketed": self.num_partitions if bucketed else None,
+                },
+                f,
+            )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SparkDiGraph":
@@ -331,6 +377,22 @@ class SparkDiGraph:
 
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        buckets = meta.get("bucketed")
+        if buckets:
+            ns = cls._table_ns(path)
+            tv, te = f"graph_{ns}_vertices", f"graph_{ns}_edges"
+            try:
+                if spark.catalog.tableExists(tv) and spark.catalog.tableExists(te):
+                    return cls(
+                        spark,
+                        spark.table(tv),
+                        spark.table(te),
+                        round_n=meta.get("round_n"),
+                        num_partitions=buckets,
+                        edges_src_partitioned=True,
+                    )
+            except Exception:
+                pass
         return cls(
             spark,
             spark.read.parquet(os.path.join(path, "vertices")),

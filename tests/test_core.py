@@ -146,3 +146,56 @@ def test_build_ids_taken_slots(spark):
     assert got["1000000"] == 1_000_000 and got["1000002"] == 1_000_002
     assert [got[k] for k in "abcd"] == [1_000_001, 1_000_003, 1_000_004, 1_000_005]
     assert len(set(got.values())) == len(got)
+
+
+def test_graph_save_load_bucketed(graph1, spark, tmp_path):
+    """save(bucketed=True) + same-session load: the reloaded graph's
+    forward edges_w build is exchange-free (bucketed scans report their
+    hash partitioning), and every query result matches the plain path."""
+    from pyspark.sql import functions as F
+
+    from networkx_graph_spark.graph import SparkDiGraph
+    from networkx_graph_spark.operators.sssp import shortest_paths
+
+    p = str(tmp_path / "gbkt")
+    graph1.save(p, bucketed=True)
+    g2 = SparkDiGraph.load(spark, p)
+    try:
+        assert g2.edges_src_partitioned
+        assert g2.num_partitions == graph1.num_partitions
+        assert sorted(
+            (r["src"], r["dst"]) for r in g2.edges.collect()
+        ) == sorted((r["src"], r["dst"]) for r in graph1.edges.collect())
+
+        # the exact join edges_w builds, probed pre-persist with broadcast
+        # off: bucketed scans on both sides -> zero Exchange nodes
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ew_expr = g2.edges.join(
+                g2.vertices.select(
+                    F.col("id").alias("src"), F.col("length").alias("weight")
+                ),
+                "src",
+            ).select("src", "dst", "weight")
+            plan = ew_expr._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, plan
+
+        # identical traversal results through the bucketed-loaded graph
+        d1 = shortest_paths(graph1, "w1", cutoff=200.0).dists()
+        d2 = shortest_paths(g2, "w1", cutoff=200.0).dists()
+        assert d1 == d2
+        g2.unpersist()
+    finally:
+        ns = SparkDiGraph._table_ns(p)
+        spark.sql(f"DROP TABLE IF EXISTS graph_{ns}_vertices")
+        spark.sql(f"DROP TABLE IF EXISTS graph_{ns}_edges")
+
+    # fresh-catalog fallback: drop the tables, load again -> plain parquet
+    g3 = SparkDiGraph.load(spark, p)
+    assert not g3.edges_src_partitioned
+    assert g3.edges.count() == graph1.edges.count()
+    g3.unpersist()
