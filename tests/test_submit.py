@@ -89,3 +89,31 @@ def test_submit_cli_rejects_invalid_combinations(tmp_path):
     assert main(["cc", *base, *ck, "--resume", "--algorithm", "blocked"]) == 2
     # bucketed implies checkpoint-every 1
     assert main(["pagerank", *base, *ck, "--bucketed", "--checkpoint-every", "2"]) == 2
+
+
+def test_submit_build_graph(spark, tmp_path):
+    """build-graph kernel: edges parquet -> saved traversal-ready graph
+    (bucketed), loadable via SparkDiGraph.load."""
+    import json
+
+    from networkx_graph_spark.graph import SparkDiGraph
+    from tools.submit_job import main
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    src = str(tmp_path / "edges_pq")
+    e.write.parquet(src)
+    out = str(tmp_path / "graph_out")
+    rc = main(["build-graph", "--edges", src, "--output", out, "--bucketed"])
+    assert rc == 0
+    g = SparkDiGraph.load(spark, out)
+    try:
+        assert g.edges_src_partitioned
+        assert g.vertices.count() == 4 and g.edges.count() == 4
+        assert json.load(open(f"{out}/meta.json"))["bucketed"] == g.num_partitions
+        g.unpersist()
+    finally:
+        ns = SparkDiGraph._table_ns(out)
+        spark.sql(f"DROP TABLE IF EXISTS graph_{ns}_vertices")
+        spark.sql(f"DROP TABLE IF EXISTS graph_{ns}_edges")

@@ -17,7 +17,8 @@ Inputs (one of):
                  are built via the Arrow extraction pipeline
                  (networkx_graph_spark.sources.pages)
 
-Kernels: pagerank | cc | lpa | triangles.
+Kernels: pagerank | cc | lpa | triangles | build-graph (pages/edges ->
+saved SparkDiGraph artifact; --bucketed makes the reload exchange-free).
 
 Per-superstep metrics + lineage land in {checkpoint-dir}/{job}/metrics.jsonl;
 --resume restarts mid-iteration from the newest durable checkpoint
@@ -35,14 +36,19 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="submit_job")
-    p.add_argument("kernel", choices=["pagerank", "cc", "lpa", "triangles"])
+    p.add_argument(
+        "kernel",
+        choices=["pagerank", "cc", "lpa", "triangles", "build-graph"],
+    )
     p.add_argument("--edges", help="edge parquet path (src, dst)")
     p.add_argument("--pages", help="pages table path (url, warc_ts, html, text, lang)")
     p.add_argument("--output", required=True, help="result parquet path")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--bucketed", action="store_true",
-                   help="durable co-partitioned checkpoints (bucketed tables)")
+                   help="durable co-partitioned checkpoints (bucketed "
+                        "tables); for build-graph: save bucketed graph "
+                        "tables (zero-exchange reload)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
@@ -148,6 +154,22 @@ def main(argv=None) -> int:
             edges, max_iter=args.max_iter, runner=runner, name=name,
             resume=args.resume, num_partitions=nparts,
         )
+    elif args.kernel == "build-graph":
+        # pages/edges -> traversal-ready saved graph artifact: with
+        # --bucketed the save registers bucketed tables so later jobs
+        # (same session / shared metastore) reload with zero exchanges
+        from networkx_graph_spark.graph import SparkDiGraph
+
+        g = SparkDiGraph.from_edge_df(spark, edges)
+        g.save(args.output, bucketed=args.bucketed)
+        summary.update(
+            vertices=g.vertices.count(),
+            edges=g.edges.count(),
+            bucketed=bool(args.bucketed),
+            wall_sec=round(time.time() - t0, 3),
+        )
+        print(json.dumps(summary))
+        return 0
     else:  # triangles
         from networkx_graph_spark.kernels.triangles import triangle_count
 
