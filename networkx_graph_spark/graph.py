@@ -84,6 +84,9 @@ class SparkDiGraph:
         # ``load``): the forward ``edges_w`` build then skips its explicit
         # repartition — zero exchanges to become traversal-ready.
         self.edges_src_partitioned = edges_src_partitioned
+        # same edge rows bucketed by dst (bucketed load only) — feeds an
+        # exchange-free ``edges_w_rev``
+        self._edges_rev_scan: Optional[DataFrame] = None
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -204,15 +207,20 @@ class SparkDiGraph:
     @cached_property
     def edges_w_rev(self) -> DataFrame:
         """Reverse traversal edges: role-swapped, ``weight = length`` of the
-        node being relaxed out of in the *reverse* walk (the original dst)."""
+        node being relaxed out of in the *reverse* walk (the original dst).
+        A bucketed load supplies ``_edges_rev_scan`` (same rows bucketed by
+        dst): the join + alias-aware projection then already carry
+        HashPartitioning on the new ``src`` and the exchange is skipped."""
+        base = self._edges_rev_scan if self._edges_rev_scan is not None else self.edges
         ew = (
-            self.edges.join(
+            base.join(
                 self.vertices.select(F.col("id").alias("dst"), F.col("length").alias("weight")),
                 "dst",
             )
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-            .repartition(self.num_partitions, "src")
         )
+        if self._edges_rev_scan is None:
+            ew = ew.repartition(self.num_partitions, "src")
         ew = ew.persist()
         ew.count()
         return ew
@@ -329,15 +337,17 @@ class SparkDiGraph:
         {path}/meta.json. Vertices/edges write hash-partitioned on their
         join keys so a re-load starts co-located.
 
-        ``bucketed=True`` additionally registers both as BUCKETED external
-        tables (vertices by id, edges by src, ``num_partitions`` buckets).
-        A load that finds those catalog entries gets scans that REPORT
-        their hash partitioning, so the reloaded graph's ``edges_w`` build
-        needs no exchange at all — the cluster-restart story: with a real
-        metastore (Hive/Iceberg) the graph is traversal-ready across
-        processes for free; in this sandbox the catalog lives in the
-        session, and a fresh process falls back to the plain files
-        (correct, one exchange)."""
+        ``bucketed=True`` additionally registers BUCKETED external tables
+        (vertices by id, edges by src, plus a second edge copy by dst for
+        reverse traversal; ``num_partitions`` buckets). A load that finds
+        those catalog entries gets scans that REPORT their hash
+        partitioning, so the reloaded graph's ``edges_w`` AND
+        ``edges_w_rev`` builds need no exchange at all — the
+        cluster-restart story: with a real metastore (Hive/Iceberg) the
+        graph is traversal-ready in both directions across processes for
+        free; in this sandbox the catalog lives in the session, and a
+        fresh process falls back to the plain files (correct, one
+        exchange per direction)."""
         import json
         import os
 
@@ -345,9 +355,11 @@ class SparkDiGraph:
         e = self.edges.repartition(self.num_partitions, "src")
         if bucketed:
             ns = self._table_ns(path)
+            er = self.edges.repartition(self.num_partitions, "dst")
             for df, name, col, sub in (
                 (v, f"graph_{ns}_vertices", "id", "vertices"),
                 (e, f"graph_{ns}_edges", "src", "edges"),
+                (er, f"graph_{ns}_edges_rev", "dst", "edges_rev"),
             ):
                 self.spark.sql(f"DROP TABLE IF EXISTS {name}")
                 (
@@ -381,9 +393,10 @@ class SparkDiGraph:
         if buckets:
             ns = cls._table_ns(path)
             tv, te = f"graph_{ns}_vertices", f"graph_{ns}_edges"
+            tr = f"graph_{ns}_edges_rev"
             try:
                 if spark.catalog.tableExists(tv) and spark.catalog.tableExists(te):
-                    return cls(
+                    g = cls(
                         spark,
                         spark.table(tv),
                         spark.table(te),
@@ -391,6 +404,9 @@ class SparkDiGraph:
                         num_partitions=buckets,
                         edges_src_partitioned=True,
                     )
+                    if spark.catalog.tableExists(tr):
+                        g._edges_rev_scan = spark.table(tr)
+                    return g
             except Exception:
                 pass
         return cls(

@@ -184,15 +184,34 @@ def test_graph_save_load_bucketed(graph1, spark, tmp_path):
         assert "Bucketed: true" in plan, plan
         assert "Exchange" not in plan, plan
 
-        # identical traversal results through the bucketed-loaded graph
+        # reverse direction: the dst-bucketed copy feeds edges_w_rev; the
+        # persisted table still carries hashpartitioning on the
+        # role-swapped src (alias-aware projection), so downstream
+        # src-keyed ops run with ZERO exchanges — gate on the FINALIZED
+        # adaptive plan (the pre-execution outputPartitioning accessor
+        # reports Unknown under the AQE wrapper)
+        assert g2._edges_rev_scan is not None
+        ewr = g2.edges_w_rev
+        agg = ewr.groupBy("src").count()
+        agg.collect()
+        fin = agg._jdf.queryExecution().executedPlan().toString()
+        fin = fin.split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in fin, fin
+
+        # identical traversal results through the bucketed-loaded graph,
+        # both directions
         d1 = shortest_paths(graph1, "w1", cutoff=200.0).dists()
         d2 = shortest_paths(g2, "w1", cutoff=200.0).dists()
         assert d1 == d2
+        r1 = shortest_paths(graph1, "w7", cutoff=200.0, reverse=True).dists()
+        r2 = shortest_paths(g2, "w7", cutoff=200.0, reverse=True).dists()
+        assert r1 == r2
         g2.unpersist()
     finally:
         ns = SparkDiGraph._table_ns(p)
         spark.sql(f"DROP TABLE IF EXISTS graph_{ns}_vertices")
         spark.sql(f"DROP TABLE IF EXISTS graph_{ns}_edges")
+        spark.sql(f"DROP TABLE IF EXISTS graph_{ns}_edges_rev")
 
     # fresh-catalog fallback: drop the tables, load again -> plain parquet
     g3 = SparkDiGraph.load(spark, p)
