@@ -85,54 +85,18 @@ def _same_node(
     return False, None
 
 
-def _finish_one(
-    graph: SparkDiGraph,
-    rows: dict[int, dict],
-    sid: int,
-    offset: Optional[float],
-    cutoff: float,
-    b: dict[int, list[Binding]],
-    binding_nodes: set[int],
-    reverse: bool,
-) -> Optional[PathResult]:
-    """Candidate selection + backtrace over one query's converged state:
-    ``argmin (dist, node)`` over reached binding nodes == Dijkstra's
-    first-pop (/root/reference/src/main.cpp:1552-1582), then the
-    total-cost check with NO fallthrough to the next candidate."""
-    nm = graph.names_map
-    lm = graph.lengths_map
-    cands = sorted(
-        (r["dist"], n)
-        for n, r in rows.items()
-        if n in binding_nodes and r["dist"] <= cutoff
-    )
-    if not cands:
-        return None
-    dist_u, u = cands[0]
+def _binding_cost(
+    lm: dict[int, float], b: dict[int, list[Binding]], u: int, reverse: bool
+) -> tuple[float, Binding, float]:
+    """(offset cost, winning interval, clipped binding offset) at node u
+    (/root/reference/src/main.cpp:1557-1581)."""
     length = lm[u]
     t = b[u][0] if not reverse else b[u][-1]
     if not reverse:
         c = clip(0.0, t[0], length)
-        total = dist_u + c
-    else:
-        c = clip(0.0, t[1], length)
-        total = dist_u + (length - c)
-    if total > cutoff:
-        return None  # first binding node fails -> None (:1582 break)
-    chain = [u]
-    cur = u
-    while cur != sid:
-        cur = rows[cur]["prev"]
-        chain.append(cur)
-    if not reverse:
-        nodes = [nm[i] for i in reversed(chain)]
-        p = PathResult(total, nodes, offset, c)
-        p.binding = (nm[u], t)
-    else:
-        nodes = [nm[i] for i in chain]  # already forward order [u..source]
-        p = PathResult(total, nodes, c, offset)
-        p.binding = (nm[u], t)
-    return p.round(graph.scale).with_graph(graph)
+        return c, t, c
+    c = clip(0.0, t[1], length)
+    return length - c, t, c
 
 
 def _shortest_many(
@@ -202,17 +166,64 @@ def _shortest_many(
             .select("qid", "node")
         )
     state = bounded_sssp(spark, edges_w, seeds, float(cutoff), sinks_df)
-    rows_by_qid: dict[int, dict[int, dict]] = {}
-    for r in state.collect():
-        rows_by_qid.setdefault(r["qid"], {})[r["node"]] = r
-    for qid, sid, _ in pend:
-        rows = rows_by_qid.get(qid)
-        if not rows:
-            continue
-        out[qid] = _finish_one(
-            graph, rows, sid, queries[qid][1], cutoff, b,
-            binding_nodes - {sid}, reverse,
+    state = state.persist()
+
+    # Distributed first-pop: ``argmin (dist, node)`` over reached binding
+    # nodes per query == Dijkstra's first pop
+    # (/root/reference/src/main.cpp:1552-1582). Only ONE small row per
+    # query reaches the driver — the converged state is never collected.
+    nm = graph.names_map
+    lm = graph.lengths_map
+    bn_df = spark.createDataFrame([(x,) for x in binding_nodes], "node long")
+    winners = {
+        r["qid"]: (r["m"]["dist"], r["m"]["node"])
+        for r in (
+            state.join(F.broadcast(bn_df), "node")
+            .join(F.broadcast(src_df.select("qid", "sid")), "qid")
+            .filter((F.col("node") != F.col("sid")) & (F.col("dist") <= F.lit(float(cutoff))))
+            .groupBy("qid")
+            .agg(F.min(F.struct("dist", "node")).alias("m"))
+            .collect()
         )
+    }
+    # total-cost check with NO fallthrough to the next candidate
+    # (:1582 break); survivors get a distributed backtrace
+    ends, meta = [], {}
+    for qid, sid, _ in pend:
+        if qid not in winners:
+            continue
+        dist_u, u = winners[qid]
+        cost, t, c = _binding_cost(lm, b, u, reverse)
+        total = dist_u + cost
+        if total > cutoff:
+            continue
+        ends.append((qid, u))
+        meta[qid] = (sid, u, total, t, c)
+    if ends:
+        from .sssp import backtrace
+
+        ends_df = spark.createDataFrame(ends, "qid long, node long")
+        sources_df = spark.createDataFrame(
+            [(q, s) for q, s, _ in pend], "qid long, start long"
+        )
+        chains = {
+            r["qid"]: list(r["chain"])
+            for r in backtrace(state, ends_df, sources_df).collect()
+        }
+        for qid, (sid, u, total, t, c) in meta.items():
+            chain = chains.get(qid)  # [u .. sid]
+            if not chain:
+                continue
+            offset = queries[qid][1]
+            if not reverse:
+                nodes = [nm[i] for i in reversed(chain)]
+                p = PathResult(total, nodes, offset, c)
+            else:
+                nodes = [nm[i] for i in chain]  # forward order [u..source]
+                p = PathResult(total, nodes, c, offset)
+            p.binding = (nm[u], t)
+            out[qid] = p.round(graph.scale).with_graph(graph)
+    state.unpersist()
     return out
 
 
