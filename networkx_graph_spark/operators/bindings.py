@@ -320,29 +320,36 @@ def _enumerate_to_bindings(
     edges_w = graph.edges_w_rev if reverse else graph.edges_w
     if edges_w.filter(F.col("src") == sid).isEmpty():
         return []
+    from pyspark.sql import Observation
+
+    from ..plans.supersteps import Materializer
+
     binding_nodes = {n for n, lst in b.items() if lst and n != sid}
-    active = spark.createDataFrame(
-        [([sid], float(init_offset))], "nodes array<bigint>, length double"
+    # flagged single state (the repo-wide 1-action/round pattern): hit
+    # rows accumulate with _hit=true, live frontier rows carry _hit=false;
+    # the live count rides the round's checkpoint action as an
+    # Observation metric — no isEmpty / per-round hit collect jobs
+    state = spark.createDataFrame(
+        [([sid], float(init_offset), False)],
+        "nodes array<bigint>, length double, _hit boolean",
     )
-    found: list[tuple[list[int], float]] = []  # (nodes, length at binding hit)
     lengths = graph.vertices.select(
         F.col("id").alias("tail"), F.col("length").alias("tail_len")
     )
+    mat = Materializer()
     for _ in range(10_000):
-        if active.isEmpty():
-            break
-        rows = (
-            active.filter(F.col("length") <= cutoff)
+        cur = (
+            state.filter(~F.col("_hit"))
+            .filter(F.col("length") <= cutoff)
             .withColumn("tail", F.element_at("nodes", -1))
             .join(lengths, "tail")
         )
         # binding hit (tail != source — root rows have size 1 & tail==sid)
         hit_cond = F.col("tail").isin(list(binding_nodes)) if binding_nodes else F.lit(False)
-        hits = rows.filter(hit_cond & (F.col("tail") != sid))
-        found.extend(
-            (list(r["nodes"]), r["length"]) for r in hits.select("nodes", "length").collect()
-        )
-        rows = rows.filter(~(hit_cond & (F.col("tail") != sid)))
+        hit_cond = hit_cond & (F.col("tail") != sid)
+        # hits record their length BEFORE the tail-length add (:1849)
+        hits = cur.filter(hit_cond).select("nodes", "length", F.lit(True).alias("_hit"))
+        rows = cur.filter(~hit_cond)
         if sink_ids:
             rows = rows.filter(~F.col("tail").isin(list(sink_ids)))
         multi = F.size("nodes") > 1
@@ -360,12 +367,29 @@ def _enumerate_to_bindings(
                 )
             ).alias("cands")
         )
-        active = (
+        expanded = (
             per.filter(F.size("cands") > 0)
             .select(F.explode("cands").alias("nxt"), "nodes", "length")
-            .select(F.concat("nodes", F.array("nxt")).alias("nodes"), "length")
-            .localCheckpoint(eager=True)
+            .select(
+                F.concat("nodes", F.array("nxt")).alias("nodes"),
+                "length",
+                F.lit(False).alias("_hit"),
+            )
         )
+        new_state = state.filter(F.col("_hit")).unionByName(hits).unionByName(expanded)
+        obs = Observation()
+        observed = new_state.observe(
+            obs,
+            F.coalesce(F.sum((~F.col("_hit")).cast("long")), F.lit(0)).alias("n_live"),
+        )
+        state = mat.materialize(observed)
+        if obs.get["n_live"] == 0:
+            break
+    found = [
+        (list(r["nodes"]), r["length"])
+        for r in state.filter(F.col("_hit")).select("nodes", "length").collect()
+    ]
+    mat.release()
     out = []
     for nodes, length in found:
         tail = nodes[-1]

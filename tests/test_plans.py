@@ -138,3 +138,27 @@ def test_runner_table_namespace_and_cadence_guard(spark, tmp_path):
             bucket_cols=["id"],
             bucket_count=4,
         )
+
+
+def test_bindings_enumeration_one_job_per_round(spark, graph1):
+    """all_paths_to_bindings' enumeration loop runs ONE driver action per
+    round (flagged state + Observation live-count) plus fixed setup: no
+    isEmpty or per-round hit-collect jobs."""
+    from networkx_graph_spark.operators.bindings import (
+        all_paths_to_bindings,
+        encode_bindings,
+    )
+
+    # pre-warm the graph's lazy one-time builds so the gate measures the
+    # enumeration loop itself
+    graph1.edges_w
+    graph1.names_map
+    graph1.lengths_map
+    b = encode_bindings(graph1, {"w7": [(3, 4, "obj")]})
+    jobs = _count_jobs(
+        spark,
+        lambda: all_paths_to_bindings(graph1, "w1", 50.0, b, direction=1),
+    )
+    # forward only: 1 no-successor probe + 5 rounds (deepest chain
+    # w1>w3>w4>w6>w7 + terminal round) + 1 final hit collect
+    assert jobs <= 7, f"expected <=7 driver actions, got {jobs}"
