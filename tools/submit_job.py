@@ -187,6 +187,7 @@ def main(argv=None) -> int:
         converged=res.converged,
         rows=spark.read.parquet(args.output).count(),
         wall_sec=round(time.time() - t0, 3),
+        iter_walls=[round(m.get("wall_sec", 0.0), 3) for m in res.metrics],
         resumed=args.resume,
         checkpoint_dir=args.checkpoint_dir,
         bucketed=bool(args.bucketed and args.checkpoint_dir),
