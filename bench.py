@@ -249,6 +249,10 @@ MULTI_RUN = {
     "pages_ingest": 3,
 }
 
+# first-execution cache builders: one recorded-but-discarded warmup each
+# (see main); medians are then median-of-warm
+WARMUP_DISCARD = {"minhash_dedup", "cosine_topk", "pages_ingest"}
+
 
 def main():
     import statistics
@@ -265,6 +269,18 @@ def main():
         n: int(runs_override) if runs_override else MULTI_RUN.get(n, 1) for n in names
     }
     samples: dict[str, list] = {n: [] for n in names}
+    # Warmup discipline (VERDICT r4 item 4): the short cache-building
+    # queries pay a one-time cost on their first execution (Python/Arrow
+    # worker spinup, parquet footer + OS page cache) that is engine-real
+    # but not steady-state — r3/r4 medians whipsawed on whether that cold
+    # sample landed in the middle (minhash_dedup: 7.4s cold vs 0.7s warm,
+    # same code). One discarded-but-RECORDED warmup run per such query;
+    # the median is median-of-warm.
+    for name in names:
+        if name in WARMUP_DISCARD and runs[name] > 1:
+            dt = BENCHES[name](spark, results)
+            results["extra"][f"{name}_warmup_sample"] = round(dt, 3)
+            print(f"# {name}[warmup]: {dt:.2f}s (discarded)", file=sys.stderr)
     for rnd in range(max(runs.values(), default=1)):
         for name in names:  # interleaved: round-robin, not back-to-back
             if rnd >= runs[name]:

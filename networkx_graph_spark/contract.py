@@ -404,7 +404,11 @@ def q_cc_full_geo(spark, sf_dir):
         )
         .distinct()
     )
-    return connected_components(e, algorithm="twophase").state
+    return connected_components(
+        # oracle-gated context: exact anti-join convergence, not the
+        # 2^-64 hash-signature shortcut (bench keeps the default)
+        e, algorithm="twophase", exact_convergence=True
+    ).state
 
 
 SQL_CC_FULL_GEO = f"""
@@ -1038,7 +1042,11 @@ def q_cc_converged(spark, sf_dir):
     from .kernels.components import connected_components
 
     e = tri_edges(spark, sf_dir)
-    return connected_components(e, algorithm="twophase").state
+    return connected_components(
+        # oracle-gated context: exact anti-join convergence, not the
+        # 2^-64 hash-signature shortcut (bench keeps the default)
+        e, algorithm="twophase", exact_convergence=True
+    ).state
 
 
 def q_lpa(spark, sf_dir):

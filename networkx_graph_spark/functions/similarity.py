@@ -3,9 +3,10 @@
 - **Brute-force cosine top-k** (the correctness baseline): queries are a
   small broadcast side; dot products run JVM-side via higher-order array
   functions (``zip_with`` + ``aggregate``) inside whole-stage codegen;
-  top-k per query via window ``row_number``. At 100 TB this is one
-  broadcast-join scan — no shuffle of the big side until the final
-  (tiny) per-query top-k aggregation.
+  top-k per query is TWO-stage (``_topk_rerank``): a narrow per-partition
+  local top-k then a tiny global merge. At 100 TB this is one
+  broadcast-join scan — the only shuffle of the big side is ≤ k rows per
+  (query, partition), never the full scored corpus.
 - **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
   (seeded, partition-invariant — planes derived from blake2b(seed, plane,
   dim)), candidates restricted to matching buckets (with optional
@@ -46,6 +47,41 @@ def cosine_col(a, b):
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _topk_rerank(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per query over ``(qid, vec_id, cosine)`` — the shared
+    re-rank tail of ``cosine_topk`` / ``ann_topk_lsh`` / ``ann_topk_ivf``.
+
+    The ``row_number`` window + ``rank <= k`` filter is NOT the
+    single-reducer-per-query plan it reads as: Catalyst's
+    ``InferWindowGroupLimit`` rewrites it into a TWO-stage physical plan —
+
+        Window (rank over <= k·P rows/query)
+          WindowGroupLimit [qid], row_number, k, **Final**
+            Exchange hashpartitioning(qid)          <- shuffles k·P rows
+              WindowGroupLimit [qid], row_number, k, **Partial**
+                Sort [qid, cosine DESC, vec_id]     <- per-partition, narrow
+                  <scored scan>
+
+    i.e. every map partition is locally sorted and truncated to at most
+    ``k`` rows per qid BEFORE the per-qid exchange, so the shuffle and the
+    final per-query task see k·P candidates, never the full scored corpus
+    (exactly the "per-partition local top-k + tiny global merge" shape,
+    executed JVM-side inside codegen). ``tests/test_plans.py::
+    test_cosine_topk_two_stage_plan`` pins the Partial-below-Exchange
+    shape so a refactor (e.g. switching to ``rank()`` over a different
+    expression, or losing the rank filter) cannot silently reintroduce a
+    full-corpus window. A hand-rolled Arrow ``mapInPandas`` local top-k
+    stage was measured 6-14x SLOWER than this plan (8M scored rows,
+    local[16]: 5-7 s native vs 31-73 s Arrow) — the narrow stage must not
+    leave the JVM. Ties break on vec_id for determinism."""
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -68,12 +104,7 @@ def cosine_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("vec_id"))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "cosine", "rank")
-    )
+    return _topk_rerank(scored, k)
 
 
 def auto_num_planes(n_vectors: int, target_bucket_size: int = 256) -> int:
@@ -203,12 +234,7 @@ def ann_topk_lsh(
     scored = cand.select(
         F.col(q_id_col).alias("qid"), F.col(id_col).alias("vec_id"), cos.alias("cosine")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "cosine", "rank")
-    )
+    return _topk_rerank(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -372,9 +398,4 @@ def ann_topk_ivf(
     scored = cand.select(
         F.col(q_id_col).alias("qid"), F.col(id_col).alias("vec_id"), cos.alias("cosine")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "cosine", "rank")
-    )
+    return _topk_rerank(scored, k)

@@ -370,6 +370,16 @@ class SparkDiGraph:
                     .saveAsTable(name)
                 )
         else:
+            # a prior bucketed save may have registered catalog tables over
+            # these same dirs; drop them so the catalog never disagrees
+            # with the (now non-bucketed) files on disk
+            ns = self._table_ns(path)
+            for t in (
+                f"graph_{ns}_vertices",
+                f"graph_{ns}_edges",
+                f"graph_{ns}_edges_rev",
+            ):
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             v.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
             e.write.mode("overwrite").parquet(os.path.join(path, "edges"))
         os.makedirs(path, exist_ok=True)
@@ -394,21 +404,33 @@ class SparkDiGraph:
             ns = cls._table_ns(path)
             tv, te = f"graph_{ns}_vertices", f"graph_{ns}_edges"
             tr = f"graph_{ns}_edges_rev"
+            # catalog probe is the ONLY guarded step (a fresh process has
+            # no session tables — expected, fall back to plain files);
+            # spark.table() is lazy, so ALSO require the backing dirs to
+            # still exist before committing to the bucketed path —
+            # otherwise a stale catalog entry would pass here and the
+            # caller would fail (or silently read empty) at first action
             try:
-                if spark.catalog.tableExists(tv) and spark.catalog.tableExists(te):
-                    g = cls(
-                        spark,
-                        spark.table(tv),
-                        spark.table(te),
-                        round_n=meta.get("round_n"),
-                        num_partitions=buckets,
-                        edges_src_partitioned=True,
-                    )
-                    if spark.catalog.tableExists(tr):
-                        g._edges_rev_scan = spark.table(tr)
-                    return g
+                have = spark.catalog.tableExists(tv) and spark.catalog.tableExists(te)
+                have_rev = have and spark.catalog.tableExists(tr)
             except Exception:
-                pass
+                have = have_rev = False
+            if (
+                have
+                and os.path.isdir(os.path.join(path, "vertices"))
+                and os.path.isdir(os.path.join(path, "edges"))
+            ):
+                g = cls(
+                    spark,
+                    spark.table(tv),
+                    spark.table(te),
+                    round_n=meta.get("round_n"),
+                    num_partitions=buckets,
+                    edges_src_partitioned=True,
+                )
+                if have_rev and os.path.isdir(os.path.join(path, "edges_rev")):
+                    g._edges_rev_scan = spark.table(tr)
+                return g
         return cls(
             spark,
             spark.read.parquet(os.path.join(path, "vertices")),

@@ -381,8 +381,21 @@ class PathResult:
             return (self.nodes[-1], self.end_offset)
         if key == "binding":
             return self.binding
+        if key == "graph":
+            # reference fallthrough: ``Path.graph`` is a readonly property,
+            # so py::hasattr finds it (/root/reference/src/main.cpp:2503-2509)
+            return self.graph
         if key in self.__dict__ and key not in self._FIELDS:
             return self.__dict__[key]
+        if (
+            not key.startswith("_")
+            and key not in self._FIELDS
+            and hasattr(type(self), key)
+        ):
+            # same hasattr fallthrough for public methods (e.g. 'to_dict');
+            # start/end offsets stay hidden — the reference Path exposes no
+            # such attributes (_FIELDS exclusion)
+            return getattr(self, key)
         raise KeyError(f"attribute:{key} not found")
 
     def __setitem__(self, key: str, value):
@@ -607,14 +620,27 @@ def shortest_paths(
     sink_ids = {graph.node_id(s) for s in sinks} if sinks else set()
     if sid in sink_ids:
         return gen  # start is a sink: no seeds (/root/reference/src/main.cpp:1120)
-    seeds_rows = [
-        (0, r["dst"], init_offset, sid, NEG_INF)
-        for r in edges_w.filter(F.col("src") == sid).select("dst").collect()
-    ]
-    if not seeds_rows:
-        return gen  # no successors (/root/reference/src/main.cpp:1114-1117)
     spark = graph.spark
-    seeds = spark.createDataFrame(seeds_rows, STATE_SCHEMA)
+    # distributed seeding (same join shape as the batched kernels): the
+    # source's successors never touch the driver — a 10M-fanout hub source
+    # costs one broadcast join, not an out-degree-sized collect. A source
+    # with no successors (/root/reference/src/main.cpp:1114-1117) simply
+    # yields an empty seed set, which the kernel converges on immediately
+    # and every accessor reads as the same empty result.
+    src_df = spark.createDataFrame(
+        [(0, sid, float(init_offset))], "qid long, sid long, ioff double"
+    )
+    seeds = (
+        F.broadcast(src_df)
+        .join(edges_w, F.col("sid") == edges_w["src"])
+        .select(
+            "qid",
+            edges_w["dst"].alias("node"),
+            F.col("ioff").alias("dist"),
+            F.col("sid").alias("prev"),
+            F.lit(NEG_INF).alias("prev_dist"),
+        )
+    )
     cutoffs = spark.createDataFrame([(0, float(cutoff))], "qid long, cutoff double")
     sinks_df = _encode_sinks_df(graph, sinks)
     state = bounded_sssp(spark, edges_w, seeds, cutoffs, sinks_df)
@@ -644,72 +670,16 @@ def shortest_path(
     optimization whose result equals Dijkstra's; the fixpoint kernel has
     no heap, so endpoints do not change results (see operators/astar.py
     for the heuristic surface and the optional pruning rationale).
+
+    Delegates to ``shortest_paths_pairs`` (a batch of one): seeding,
+    kernel, and backtrace are all join-based and distributed — no
+    driver-side successor collect even for a hub source.
     """
-    if cutoff < 0:
-        return None
-    sid, tid = graph.node_id(source), graph.node_id(target)
-    if sid is None or tid is None:
-        return None
-    lm = graph.lengths_map
-    if sid not in lm or tid not in lm:
-        return None
-    nm = graph.names_map
-    if source_offset is not None:
-        source_offset = clip(0.0, source_offset, lm[sid])
-    if target_offset is not None:
-        target_offset = clip(0.0, target_offset, lm[tid])
-    scale = graph.scale
-    if sid == tid:
-        if source_offset is None and target_offset is None:
-            return PathResult(0.0, [nm[sid]]).round(scale).with_graph(graph)
-        if source_offset is not None and target_offset is not None:
-            dist = target_offset - source_offset
-            if dist < 0 or dist > cutoff:
-                return None
-            return PathResult(
-                dist, [nm[sid]], source_offset, target_offset
-            ).round(scale).with_graph(graph)
-        return None
-    delta = 0.0
-    if source_offset is not None:
-        delta += lm[sid] - source_offset
-    if target_offset is not None:
-        delta += target_offset
-    inner_cutoff = cutoff - delta
-    sink_ids = {graph.node_id(s) for s in sinks} if sinks else set()
-    if sid in sink_ids:
-        return None  # (/root/reference/src/main.cpp:1175-1177)
-    # seeds = successors of source, dist 0, cutoff-EXEMPT
-    seeds_rows = [
-        (0, r["dst"], 0.0, sid, NEG_INF)
-        for r in graph.edges_w.filter(F.col("src") == sid).select("dst").collect()
-    ]
-    if not seeds_rows:
-        return None
-    spark = graph.spark
-    seeds = spark.createDataFrame(seeds_rows, STATE_SCHEMA)
-    cutoffs = spark.createDataFrame(
-        [(0, float(inner_cutoff))], "qid long, cutoff double"
-    )
-    sinks_df = _encode_sinks_df(graph, sinks)
-    targets_df = spark.createDataFrame([(0, tid)], "qid long, node long")
-    state = bounded_sssp(
-        spark, graph.edges_w, seeds, cutoffs, sinks_df, targets=targets_df
-    )
-    rows = {r["node"]: r for r in state.collect()}
-    if tid not in rows:
-        return None
-    # backtrace driver-side (single path)
-    prev_of = {n: r["prev"] for n, r in rows.items()}
-    chain = [tid]
-    cur = tid
-    while cur != sid:
-        cur = prev_of[cur]
-        chain.append(cur)
-    nodes = [nm[i] for i in reversed(chain)]
-    return PathResult(
-        rows[tid]["dist"] + delta, nodes, source_offset, target_offset
-    ).round(scale).with_graph(graph)
+    return shortest_paths_pairs(
+        graph,
+        [(source, target, cutoff, source_offset, target_offset)],
+        sinks=sinks,
+    )[0]
 
 
 def shortest_paths_pairs(

@@ -119,3 +119,34 @@ def test_read_pages_bare_relative_dir(spark):
         assert read_pages(spark, name).count() == 1
     finally:
         shutil.rmtree(name, ignore_errors=True)
+
+
+def test_read_pages_catalog_shadows_cwd_and_crisp_miss(spark, tmp_path):
+    """Catalog-first resolution: a registered table wins over a
+    same-named cwd dir (resolution must not be cwd-dependent); a name
+    found nowhere raises the documented boundary error instead of a
+    bogus parquet read."""
+    import shutil
+
+    import pytest
+
+    from networkx_graph_spark.sources.pages import read_pages
+
+    name = "pages_shadow_fixture"
+    tbl = spark.createDataFrame(
+        [("http://t/", b"<p>t</p>"), ("http://u/", b"<p>u</p>")],
+        "url string, html binary",
+    )
+    tbl.write.mode("overwrite").option("path", str(tmp_path / "shadow_tbl")).saveAsTable(name)
+    # decoy cwd dir with DIFFERENT row count
+    spark.createDataFrame(
+        [("http://x/", b"<p>x</p>")], "url string, html binary"
+    ).write.mode("overwrite").parquet(name)
+    try:
+        assert read_pages(spark, name).count() == 2  # catalog, not cwd
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(name, ignore_errors=True)
+
+    with pytest.raises(ValueError, match="neither a registered table"):
+        read_pages(spark, "no_such_table_anywhere_xyz")

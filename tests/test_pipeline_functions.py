@@ -371,3 +371,59 @@ def test_ann_ivf_recall_invariants(spark):
     r = lambda g: len(g & exact) / len(exact)  # noqa: E731
     assert gall == exact  # all probes == exact search
     assert r(g1) <= r(g4) <= 1.0
+
+
+def test_topk_rerank_matches_bruteforce_window(emb, spark):
+    """_topk_rerank (shared by cosine/LSH/IVF re-rank) returns exactly
+    the global-window top-k rows, partition-count-invariant (the
+    WindowGroupLimit Partial stage truncates per partition; result must
+    not depend on how the scored rows were partitioned)."""
+    from pyspark.sql import Window
+
+    from networkx_graph_spark.functions.similarity import (
+        _topk_rerank,
+        cosine_col,
+    )
+
+    rows = emb.collect()
+    qids = sorted(r["vec_id"] for r in rows)[:3]
+    queries = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in rows
+            if r["vec_id"] in qids
+        ],
+        "qid long, qvec array<double>",
+    )
+
+    def scored_with(parts):
+        return (
+            emb.repartition(parts)
+            .join(F.broadcast(queries))
+            .select(
+                F.col("qid"),
+                F.col("vec_id"),
+                cosine_col(
+                    F.col("embedding").cast("array<double>"), F.col("qvec")
+                ).alias("cosine"),
+            )
+            .filter(F.col("qid") != F.col("vec_id"))
+        )
+
+    k = 5
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    want = sorted(
+        (r["qid"], r["vec_id"], r["rank"])
+        for r in scored_with(1)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    )
+    for parts in (2, 8):
+        got = sorted(
+            (r["qid"], r["vec_id"], r["rank"])
+            for r in _topk_rerank(scored_with(parts), k).collect()
+        )
+        assert got == want, parts

@@ -162,3 +162,28 @@ def test_bindings_enumeration_one_job_per_round(spark, graph1):
     # forward only: 1 no-successor probe + 5 rounds (deepest chain
     # w1>w3>w4>w6>w7 + terminal round) + 1 final hit collect
     assert jobs <= 7, f"expected <=7 driver actions, got {jobs}"
+
+
+def test_cosine_topk_two_stage_plan(spark):
+    """The exact cosine re-rank must execute as a TWO-stage top-k:
+    Catalyst's InferWindowGroupLimit turns the row_number window +
+    rank<=k filter into a per-partition Partial WindowGroupLimit BELOW
+    the per-qid exchange (each map partition truncated to <= k rows per
+    query) and a Final above it — the shuffle carries k·P rows per
+    query, never the full scored corpus. This gate pins that shape so a
+    refactor (different window function, lost rank filter) cannot
+    silently reintroduce the single-reducer-per-query plan."""
+    from networkx_graph_spark.contract import q_embed_topk
+
+    df = q_embed_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i_final = plan.find("WindowGroupLimit")
+    assert i_final >= 0 and ", Final" in plan, plan
+    i_exch = plan.find("Exchange hashpartitioning(qid", i_final)
+    assert i_exch > i_final, "per-qid exchange must sit below the Final limit"
+    i_partial = plan.find("WindowGroupLimit", i_exch)
+    assert i_partial > i_exch and ", Partial" in plan[i_partial:], (
+        "map-side Partial WindowGroupLimit must sit below the exchange "
+        "(otherwise the full scored corpus shuffles into one task per "
+        "query)\n" + plan
+    )

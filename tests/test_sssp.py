@@ -284,3 +284,24 @@ def test_build_ubodt_durable_resume(graph1, tmp_path):
         map(tuple, build_ubodt(graph1, 100.0, runner=r2, name="ub", resume=True).collect())
     )
     assert resumed == want
+
+
+def test_path_getitem_hasattr_fallthrough(graph1):
+    """Reference __getitem__ falls through to hasattr after the explicit
+    branches (/root/reference/src/main.cpp:2503-2509): 'graph' (a
+    readonly property there) and public methods like 'to_dict' resolve;
+    raw C++ fields with no Python attribute (start/end offsets) stay
+    KeyError."""
+    import pytest
+
+    from networkx_graph_spark.operators.sssp import shortest_path
+
+    p = shortest_path(graph1, "w1", "w7", 100.0)
+    assert p is not None
+    assert p["graph"] is graph1
+    assert callable(p["to_dict"])
+    assert p["to_dict"]() == p.to_dict()
+    with pytest.raises(KeyError):
+        p["start_offset"]
+    with pytest.raises(KeyError):
+        p["no_such_attr"]
