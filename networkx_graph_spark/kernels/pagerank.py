@@ -114,9 +114,22 @@ def pagerank(
 
     mat = Materializer()
     n_dangling = vertices.join(out_deg, "id", "left_anti").count()
-    # dm of the uniform init state; afterwards maintained via observations;
-    # None forces a recompute from loaded state (resume path)
-    dm_holder = {"dm": None if resume else (n_dangling / n if n else 0.0)}
+    # dm of the uniform init state; afterwards maintained via observations.
+    # Resume path: prefer the RECORDED dangling mass of the checkpointed
+    # iteration (metrics.jsonl roundtrips the double exactly) so the
+    # resumed plan's dm literal is bitwise the one an uninterrupted run
+    # would use; None forces a recompute from the loaded state (old
+    # checkpoints without the field, torn metrics at a kill seam).
+    dm0: Optional[float] = None if resume else (n_dangling / n if n else 0.0)
+    if resume:
+        last = runner.latest_checkpoint(name)
+        if last is not None:
+            rec = runner.metrics_for(name, last)
+            if rec is not None and isinstance(
+                rec.get("dangling_mass"), (int, float)
+            ):
+                dm0 = float(rec["dangling_mass"])
+    dm_holder = {"dm": dm0}
 
     def _one_update(cur: DataFrame, dm_expr, tag: str, carry=()) -> DataFrame:
         """One chained rank update as a plan transform (no action);

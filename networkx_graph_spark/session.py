@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 300s default broadcastTimeout is a known failure mode for long
+        # degraded stages on busy hosts/clusters: the action thread throws
+        # while the broadcast stage is still computing, killing the whole
+        # job (seen in the 64M-edge endurance run under host contention)
+        .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

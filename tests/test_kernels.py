@@ -482,3 +482,111 @@ def test_cc_twophase_rejects_bucketed_runner(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="EDGE set"):
         connected_components(e, algorithm="twophase", runner=r)
+
+
+def test_pagerank_fresh_process_resume_bucketed_and_exact_dm(
+    spark, edges_df, tmp_path
+):
+    """Fresh-process resume (catalog tables gone, only durable files left)
+    must (a) re-register the bucketed external table so the resumed scan
+    keeps hashpartitioning(id) — no vertex-state exchange at the seam —
+    and (b) seed the dangling-mass literal from the RECORDED metrics value
+    rather than re-aggregating the loaded state."""
+    import os
+    import shutil
+
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = str(tmp_path / "ckf")
+    r = SuperstepRunner(
+        spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts
+    )
+    full = pagerank(edges_df, tol=-1.0, max_iter=6, runner=r, name="prf2")
+    a = {row["id"]: row["rank"] for row in full.state.collect()}
+
+    # crash after iteration 2 + fresh process: drop EVERY ckpt_* catalog
+    # entry for this job (a new JVM's catalog starts empty)
+    for entry in os.listdir(os.path.join(d, "prf2")):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > 2:
+            shutil.rmtree(os.path.join(d, "prf2", entry))
+    for t in list(spark.catalog.listTables()):
+        if t.name.startswith("ckpt_") and "_prf2_" in t.name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+    r2 = SuperstepRunner(
+        spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts
+    )
+    # the re-registered resume scan must be bucketed (exchange-free seam).
+    # A bare scan won't report bucketing (autoBucketedScan disables it
+    # when nothing downstream benefits), so probe with the operation that
+    # matters: a non-broadcast id-keyed join, as every superstep performs
+    st, nxt = r2.resume("prf2")
+    assert nxt == 3
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = st.alias("x").join(st.alias("y"), "id")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan
+    # the recorded dangling mass is what the resumed kernel must use
+    rec = r2.metrics_for("prf2", 2)
+    assert rec is not None and "dangling_mass" in rec
+
+    resumed = pagerank(
+        edges_df, tol=-1.0, max_iter=6, runner=r2, name="prf2", resume=True
+    )
+    b = {row["id"]: row["rank"] for row in resumed.state.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+    # a MISMATCHED bucket spec must NOT be trusted (declaring the wrong
+    # placement over existing files silently mis-places rows): resume
+    # falls back to the plain, re-exchanged parquet read
+    for t in list(spark.catalog.listTables()):
+        if t.name.startswith("ckpt_") and "_prf2_" in t.name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    r3 = SuperstepRunner(
+        spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=nparts * 2
+    )
+    st3, _ = r3.resume("prf2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe3 = st3.alias("x").join(st3.alias("y"), "id")
+        plan3 = probe3._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "Bucketed: true" not in plan3, plan3
+    assert "Exchange" in plan3, plan3  # the safe re-exchanged fallback
+    for t in list(spark.catalog.listTables()):
+        if t.name.startswith("ckpt_") and "_prf2_" in t.name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_metrics_for_skips_torn_lines(tmp_path):
+    """metrics_for must survive a torn (partial) JSON line at a kill seam
+    and return the newest record for the requested iteration."""
+    import json
+    import os
+
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    class _S:  # metrics_for never touches spark
+        pass
+
+    d = str(tmp_path / "ckm")
+    os.makedirs(os.path.join(d, "job"), exist_ok=True)
+    with open(os.path.join(d, "job", "metrics.jsonl"), "w") as f:
+        f.write(json.dumps({"iteration": 0, "dangling_mass": 0.25}) + "\n")
+        f.write(json.dumps({"iteration": 1, "dangling_mass": 0.125}) + "\n")
+        f.write('{"iteration": 2, "dangl')  # torn write at SIGKILL
+    r = SuperstepRunner.__new__(SuperstepRunner)
+    r.spark = _S()
+    r.checkpoint_dir = d
+    rec = r.metrics_for("job", 1)
+    assert rec == {"iteration": 1, "dangling_mass": 0.125}
+    assert r.metrics_for("job", 2) is None
+    assert r.metrics_for("job", 7) is None

@@ -97,6 +97,10 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName(f"nxg-{args.kernel}").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # survive long degraded stages (shared/busy hosts): the 300s default
+    # broadcast timeout aborts the whole job if any broadcast-exchange
+    # stage is starved past it
+    spark.conf.set("spark.sql.broadcastTimeout", "3600")
 
     from networkx_graph_spark.plans.supersteps import SuperstepRunner
 
