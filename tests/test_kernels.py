@@ -590,3 +590,93 @@ def test_metrics_for_skips_torn_lines(tmp_path):
     assert rec == {"iteration": 1, "dangling_mass": 0.125}
     assert r.metrics_for("job", 2) is None
     assert r.metrics_for("job", 7) is None
+
+
+def _crash_after(ckpt_dir, name, keep_through):
+    """Simulate a SIGKILL after iteration ``keep_through``: remove every
+    later per-iteration checkpoint dir, as the endurance demo does at
+    bench scale (BENCH/endurance_run.py)."""
+    import os
+    import shutil
+
+    for entry in os.listdir(os.path.join(ckpt_dir, name)):
+        if entry.startswith("iter=") and int(entry.split("=")[1]) > keep_through:
+            shutil.rmtree(os.path.join(ckpt_dir, name, entry))
+
+
+def test_cc_hashmin_checkpoint_resume(spark, tmp_path):
+    """Crash/resume parity for hash-min CC (reference semantics: exact
+    component ids at convergence). A 10-chain needs ~10 hash-min rounds;
+    crash after round 3, resume in a fresh runner, labels must match the
+    uninterrupted run exactly (integers: bitwise)."""
+    from networkx_graph_spark.kernels.components import connected_components
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    rows = [(i, i + 1) for i in range(10)] + [(500, 501), (900, 900)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    d = str(tmp_path / "ck")
+    full = connected_components(
+        e, algorithm="hashmin", runner=SuperstepRunner(spark, checkpoint_dir=d),
+        name="cc",
+    )
+    a = {r["id"]: r["component"] for r in full.state.collect()}
+    _crash_after(d, "cc", 3)
+    resumed = connected_components(
+        e, algorithm="hashmin", runner=SuperstepRunner(spark, checkpoint_dir=d),
+        name="cc", resume=True,
+    )
+    b = {r["id"]: r["component"] for r in resumed.state.collect()}
+    assert a == b
+    # the seam is real: the resumed run re-entered at iteration 4,
+    # not 0 (per-partition lineage + metrics, north rule)
+    assert resumed.metrics[0]["iteration"] == 4
+    assert resumed.converged
+
+
+def test_cc_twophase_checkpoint_resume(spark, tmp_path):
+    """Same parity for the two-phase star algorithm (O(log n) rounds)."""
+    from networkx_graph_spark.kernels.components import connected_components
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    rows = [(i, i + 1) for i in range(60)] + [(500, 501), (501, 502), (900, 900)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    d = str(tmp_path / "ck2")
+    full = connected_components(
+        e, algorithm="twophase", runner=SuperstepRunner(spark, checkpoint_dir=d),
+        name="cc2",
+    )
+    a = {r["id"]: r["component"] for r in full.state.collect()}
+    assert full.iterations > 2  # crash point must be mid-fixpoint
+    _crash_after(d, "cc2", 1)
+    resumed = connected_components(
+        e, algorithm="twophase", runner=SuperstepRunner(spark, checkpoint_dir=d),
+        name="cc2", resume=True,
+    )
+    b = {r["id"]: r["component"] for r in resumed.state.collect()}
+    assert a == b
+    assert resumed.metrics[0]["iteration"] == 2
+
+
+def test_lpa_checkpoint_resume(spark, tmp_path):
+    """Crash/resume parity for label propagation: fixed 5 supersteps,
+    crash after round 2, resumed labels must match exactly (the mode
+    tie-break is deterministic, so integer labels are bitwise)."""
+    from networkx_graph_spark.kernels.lpa import label_propagation
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    rows = [(i, i + 1) for i in range(20)] + [(5, 15), (2, 18), (500, 501)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    d = str(tmp_path / "ck3")
+    full = label_propagation(
+        e, max_iter=5, runner=SuperstepRunner(spark, checkpoint_dir=d), name="lp"
+    )
+    a = {r["id"]: r["label"] for r in full.state.collect()}
+    _crash_after(d, "lp", 2)
+    resumed = label_propagation(
+        e, max_iter=5, runner=SuperstepRunner(spark, checkpoint_dir=d),
+        name="lp", resume=True,
+    )
+    b = {r["id"]: r["label"] for r in resumed.state.collect()}
+    assert a == b
+    assert resumed.metrics[0]["iteration"] == 3
+    assert resumed.iterations == 5
