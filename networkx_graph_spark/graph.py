@@ -53,6 +53,59 @@ EDGES_SCHEMA = T.StructType(
 )
 
 
+def _fs_isdir(spark: SparkSession, path: str) -> bool:
+    """Directory existence that also works for scheme-qualified URIs
+    (hdfs://, s3a://): ``os.path.isdir`` is always False for those, which
+    would silently drop the bucketed fast path on a real cluster store."""
+    import os
+
+    if "://" not in path:
+        return os.path.isdir(path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    if "://" not in path:
+        with open(path) as f:
+            return f.read()
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        buf = bytearray(65536)
+        while True:
+            n = stream.read(buf)
+            if n <= 0:
+                break
+            out += buf[:n]
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    import os
+
+    if "://" not in path:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 class SparkDiGraph:
     """Immutable ("frozen") node-weighted digraph over DataFrames.
 
@@ -164,36 +217,53 @@ class SparkDiGraph:
         return cls(spark, vdf, edges, round_n=round_n)
 
     # ------------------------------------------------------------ accessors
+    def _cached_vertices(self) -> DataFrame:
+        """Persist the vertex table on first real use. Graphs built via
+        ``from_edge_df`` derive their vertex table from a distinct-endpoints
+        chain over the edges; without a persist, every accessor that needs
+        it (name→id lookups, the driver maps, the ``edges_w`` /
+        ``edges_w_rev`` builds) re-runs that full dedup shuffle."""
+        if not self.__dict__.get("_v_persisted"):
+            self.vertices = self.vertices.persist()
+            self._v_persisted = True
+        return self.vertices
+
     @cached_property
     def ids(self) -> DataFrame:
         """Dictionary DF (node STRING, id BIGINT)."""
-        return self.vertices.select("node", "id")
+        return self._cached_vertices().select("node", "id")
+
+    @cached_property
+    def _vertex_rows(self) -> list:
+        """One guarded collect shared by ``lengths_map`` and ``names_map``
+        (each previously ran its own count + collect)."""
+        v = self._cached_vertices()
+        n = v.count()
+        if n > 2_000_000:
+            raise RuntimeError(
+                "driver-side vertex maps are a fixture-scale convenience; "
+                f"graph has {n} vertices — use DataFrame joins instead"
+            )
+        return v.collect()
 
     @cached_property
     def lengths_map(self) -> dict[int, float]:
         """Driver-side id->length map — ONLY for fixture-scale graphs
         (path decoration of collected results). Guarded by size."""
-        n = self.vertices.count()
-        if n > 2_000_000:
-            raise RuntimeError(
-                "lengths_map is a fixture-scale convenience; "
-                f"graph has {n} vertices — use DataFrame joins instead"
-            )
-        return {r["id"]: r["length"] for r in self.vertices.collect()}
+        return {r["id"]: r["length"] for r in self._vertex_rows}
 
     @cached_property
     def names_map(self) -> dict[int, str]:
-        n = self.vertices.count()
-        if n > 2_000_000:
-            raise RuntimeError("names_map is fixture-scale only")
-        return {r["id"]: r["node"] for r in self.vertices.collect()}
+        return {r["id"]: r["node"] for r in self._vertex_rows}
 
     @cached_property
     def edges_w(self) -> DataFrame:
         """Forward traversal edges ``(src, dst, weight=length(src))``,
         hash-partitioned by src (the frontier-join key) and persisted."""
         ew = self.edges.join(
-            self.vertices.select(F.col("id").alias("src"), F.col("length").alias("weight")),
+            self._cached_vertices().select(
+                F.col("id").alias("src"), F.col("length").alias("weight")
+            ),
             "src",
         ).select("src", "dst", "weight")
         if not self.edges_src_partitioned:
@@ -214,7 +284,9 @@ class SparkDiGraph:
         base = self._edges_rev_scan if self._edges_rev_scan is not None else self.edges
         ew = (
             base.join(
-                self.vertices.select(F.col("id").alias("dst"), F.col("length").alias("weight")),
+                self._cached_vertices().select(
+                    F.col("id").alias("dst"), F.col("length").alias("weight")
+                ),
                 "dst",
             )
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
@@ -230,6 +302,9 @@ class SparkDiGraph:
             if attr in self.__dict__:
                 self.__dict__[attr].unpersist()
                 del self.__dict__[attr]
+        if self.__dict__.get("_v_persisted"):
+            self.vertices.unpersist()
+            self._v_persisted = False
 
     # -------------------------------------------------- name/id translation
     def node_id(self, name: str) -> Optional[int]:
@@ -382,23 +457,23 @@ class SparkDiGraph:
                 self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             v.write.mode("overwrite").parquet(os.path.join(path, "vertices"))
             e.write.mode("overwrite").parquet(os.path.join(path, "edges"))
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(
+        _fs_write_text(
+            self.spark,
+            os.path.join(path, "meta.json"),
+            json.dumps(
                 {
                     "round_n": self.round_n,
                     "bucketed": self.num_partitions if bucketed else None,
-                },
-                f,
-            )
+                }
+            ),
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SparkDiGraph":
         import json
         import os
 
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
+        meta = json.loads(_fs_read_text(spark, os.path.join(path, "meta.json")))
         buckets = meta.get("bucketed")
         if buckets:
             ns = cls._table_ns(path)
@@ -417,8 +492,8 @@ class SparkDiGraph:
                 have = have_rev = False
             if (
                 have
-                and os.path.isdir(os.path.join(path, "vertices"))
-                and os.path.isdir(os.path.join(path, "edges"))
+                and _fs_isdir(spark, os.path.join(path, "vertices"))
+                and _fs_isdir(spark, os.path.join(path, "edges"))
             ):
                 g = cls(
                     spark,
@@ -428,7 +503,7 @@ class SparkDiGraph:
                     num_partitions=buckets,
                     edges_src_partitioned=True,
                 )
-                if have_rev and os.path.isdir(os.path.join(path, "edges_rev")):
+                if have_rev and _fs_isdir(spark, os.path.join(path, "edges_rev")):
                     g._edges_rev_scan = spark.table(tr)
                 return g
         return cls(

@@ -36,6 +36,22 @@ def _sym(edges: DataFrame) -> DataFrame:
     )
 
 
+def _sym_clustered(edges: DataFrame, num_partitions: int) -> DataFrame:
+    """``_sym`` + src-clustering in ONE exchange: the dedup runs
+    partition-local on top of the src-hash repartition the superstep join
+    needs anyway (HashPartitioning(src) satisfies
+    ClusteredDistribution([src, dst])) — the former
+    ``_sym().repartition()`` shape paid a (src, dst)-hash exchange AND a
+    src-hash exchange."""
+    return (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def connected_components(
     edges: DataFrame,
     algorithm: str = "hashmin",
@@ -128,7 +144,7 @@ def _cc_hashmin(edges, max_iter, runner, name, resume, num_partitions):
             "durable co-partitioned CC needs bucket_cols=['id'], "
             f"bucket_count={num_partitions}"
         )
-    sym = _sym(edges).repartition(num_partitions, "src").persist()
+    sym = _sym_clustered(edges, num_partitions).persist()
     sym.count()
     mat = Materializer()
     vertices = sym.select(F.col("src").alias("id")).distinct()
@@ -233,12 +249,18 @@ def _cc_twophase(
         .persist()
     )
     all_vertices.count()
+    # one canonical record per undirected pair, built directly with
+    # least/greatest (the former _sym().filter(src<dst) shape doubled the
+    # rows before deduping); the dedup runs partition-local on top of the
+    # u-hash exchange the first round needs anyway (HashPartitioning(u)
+    # satisfies ClusteredDistribution([u, v])) — one exchange, not two
     init = (
-        _sym(edges)
-        .filter(F.col("src") < F.col("dst"))  # one canonical record per pair
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
         .repartition(num_partitions, "u")
+        .dropDuplicates(["u", "v"])
     )
 
     def _nbrs(state: DataFrame) -> DataFrame:
@@ -246,6 +268,14 @@ def _cc_twophase(
             state.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
 
+    # Both stars dedupe their output with a partition-local dropDuplicates
+    # ON TOP OF the u-hash repartition the next round's groupBy needs
+    # anyway (HashPartitioning(u) satisfies ClusteredDistribution([u, v]))
+    # — the former distinct().repartition() shape paid a (u, v)-hash
+    # exchange AND a u-hash exchange per star, i.e. four exchanges per
+    # superstep where two suffice. Set-identical output (dedup is exact on
+    # integer pairs; row order is irrelevant to the min-aggregations and
+    # to the order-insensitive convergence signature).
     def large_star(state: DataFrame) -> DataFrame:
         # for each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
         nbrs = _nbrs(state)
@@ -255,8 +285,8 @@ def _cc_twophase(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
             .repartition(num_partitions, "u")
+            .dropDuplicates(["u", "v"])
         )
 
     def small_star(state: DataFrame) -> DataFrame:
@@ -269,8 +299,8 @@ def _cc_twophase(
         ).unionByName(m.select("u", F.col("m").alias("v")))
         return (
             out.filter(F.col("u") != F.col("v"))
-            .distinct()
             .repartition(num_partitions, "u")
+            .dropDuplicates(["u", "v"])
         )
 
     mat2 = Materializer()

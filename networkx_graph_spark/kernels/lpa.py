@@ -18,11 +18,11 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.supersteps import Materializer, SuperstepRunner, SuperstepResult
-from .components import _sym
+from .components import _sym_clustered
 
 
 def label_propagation(
@@ -44,7 +44,7 @@ def label_propagation(
             "durable co-partitioned LPA needs bucket_cols=['id'], "
             f"bucket_count={num_partitions}"
         )
-    sym = _sym(edges).repartition(num_partitions, "src").persist()
+    sym = _sym_clustered(edges, num_partitions).persist()
     sym.count()
     all_vertices = (
         edges.select(F.col("src").alias("id"))
@@ -66,11 +66,17 @@ def label_propagation(
             .groupBy("id", "l")
             .agg(F.count("*").alias("cnt"))
         )
-        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("l").asc())
+        # winner per id = label with max cnt, ties to the smallest label —
+        # expressed as one map-side-partial min-struct aggregation
+        # ((-cnt, l) ordering) instead of a row_number window, which paid
+        # a per-id exchange + full sort after the (id, l)-keyed vote
+        # aggregation. Exact integer tie-break, identical winners.
         winner = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("l").alias("new_label"))
+            votes.groupBy("id")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("l").alias("l"))).alias("m")
+            )
+            .select("id", F.col("m.l").alias("new_label"))
         )
         from pyspark.sql import Observation
 

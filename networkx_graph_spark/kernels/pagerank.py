@@ -46,6 +46,7 @@ def pagerank(
     resume: bool = False,
     num_partitions: Optional[int] = None,
     fuse: int = 1,
+    assume_distinct: bool = False,
 ) -> SuperstepResult:
     """edges: (src BIGINT, dst BIGINT). Returns state (id, rank).
 
@@ -64,6 +65,12 @@ def pagerank(
     tolerance, every sub-iteration's delta is Observed; the returned state
     is the last computed sub-iteration — up to ``fuse-1`` refinement
     iterations past the first sub-tol delta (each ≤ tol).
+
+    ``assume_distinct``: the caller asserts ``edges`` carries no duplicate
+    (src, dst) rows, skipping the ingest dedup entirely. Duplicate edges
+    with the flag set would be double-counted (both in out-degree and in
+    contributions) — only set it for sources that are distinct by
+    construction (``pages_to_edges`` output, a ``.distinct()``-ed table).
     """
     spark = edges.sparkSession
     if num_partitions is None:
@@ -79,41 +86,84 @@ def pagerank(
                 f"bucket_cols=['id'], bucket_count={num_partitions} "
                 f"(got {runner.bucket_cols}, {runner.bucket_count})"
             )
+    args = (edges, damping, tol, max_iter, runner, name, resume,
+            num_partitions, fuse, assume_distinct, durable, spark)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if int(prev_shuffle) == num_partitions:
+        return _pagerank_impl(*args)
+    # Align the implicit exchanges (groupBy/join/distinct plan at
+    # spark.sql.shuffle.partitions) with the caller's explicit partition
+    # count for the duration of the kernel's jobs — otherwise a tuned
+    # num_partitions (small convergence graphs) still plans every
+    # aggregation at the session default and pays a re-exchange between
+    # the mismatched counts every superstep. Restored on exit; the
+    # kernel's actions are driver-sequential within this call.
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _pagerank_impl(*args)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
-    edges = edges.select("src", "dst").distinct()
-    vertices = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .repartition(num_partitions, "id")
-        .persist()
-    )
-    n = vertices.count()
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").alias("out_deg")
-    )
-    # contribution edges: join once, reuse the src-hash exchange every superstep
+
+def _pagerank_impl(
+    edges: DataFrame,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    runner: SuperstepRunner,
+    name: str,
+    resume: bool,
+    num_partitions: int,
+    fuse: int,
+    assume_distinct: bool,
+    durable: bool,
+    spark,
+) -> SuperstepResult:
+    # Setup: ONE full-edge exchange total. The src-hash repartition the
+    # superstep join needs anyway is established first; the dedup then runs
+    # partition-local on top of it (HashPartitioning(src) satisfies
+    # ClusteredDistribution([src, dst]), so dropDuplicates adds no second
+    # exchange), and out-degree / inv_deg both derive from the same
+    # src-clustered subtree with zero further exchanges (the join's two
+    # children share one ReusedExchange). The previous shape recomputed a
+    # full (src, dst)-hash distinct up to five times per call (vertices,
+    # out_deg, cedges, dangling anti-join, init join).
+    dedup = edges.select("src", "dst").repartition(num_partitions, "src")
+    if not assume_distinct:
+        dedup = dedup.dropDuplicates(["src", "dst"])
+    out_deg = dedup.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # contribution edges: ONLY persisted edge table; src-clustered, reused
+    # by every superstep's ranks⋈edges join with no exchange on this side
     cedges = (
-        edges.join(out_deg.withColumnRenamed("id", "src"), "src")
+        dedup.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
-        .repartition(num_partitions, "src")
         .persist()
     )
     cedges.count()
+    # distinct sources, partition-local over the cached cedges (no exchange)
+    src_ids = cedges.select(F.col("src").alias("id")).dropDuplicates(["id"])
+    vertices = (
+        src_ids.unionByName(cedges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()
+    # dangling vertices = vertices with no out-edges; a count difference
+    # replaces the former anti-join job
+    n_dangling = n - src_ids.count()
 
     init = (
-        vertices.join(out_deg, "id", "left")
+        vertices.join(src_ids.withColumn("_has_out", F.lit(True)), "id", "left")
         .select(
             "id",
             F.lit(1.0 / n).alias("rank"),
             F.lit(0.0).alias("prev_rank"),
-            F.col("out_deg").isNull().alias("dangling"),
+            F.col("_has_out").isNull().alias("dangling"),
         )
         .repartition(num_partitions, "id")
     )
 
     mat = Materializer()
-    n_dangling = vertices.join(out_deg, "id", "left_anti").count()
     # dm of the uniform init state; afterwards maintained via observations.
     # Resume path: prefer the RECORDED dangling mass of the checkpointed
     # iteration (metrics.jsonl roundtrips the double exactly) so the
@@ -204,7 +254,16 @@ def pagerank(
                 ).alias("dm"),
             )
             sub_obs.append(obs)
-        clustered = cur.repartition(num_partitions, "id")
+            # Re-cluster every sub-iteration's output on id. For the last
+            # sub-iteration this is the pre-materialize clustering the
+            # checkpoint/bucketed write needs; for intermediate fused
+            # sub-iterations it caps the top of the sub-plan with an
+            # Exchange so the NEXT sub-iteration's three consumers (the
+            # dangling-mass scalar, the contributions join, the prev-rank
+            # projection) all collapse onto one ReusedExchange instead of
+            # re-executing the whole sub-plan per consumer.
+            cur = cur.repartition(num_partitions, "id")
+        clustered = cur
         if durable:
             # the bucketed write IS the superstep action: Observation
             # metrics ride it, and the read-back scan keeps

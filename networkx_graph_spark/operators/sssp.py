@@ -181,22 +181,24 @@ def bounded_sssp(
                 .filter(F.col("dist") <= F.col("cutoff"))
                 .drop("cutoff")
             )
-        best = (
-            msgs.groupBy("qid", "node")
-            .agg(F.min(F.struct(*key)).alias("m"))
-            .select("qid", "node", *[F.col(f"m.{c}").alias(c) for c in key])
-        )
+        # Single full-outer merge of old state vs candidate minima: the
+        # previous shape (left-join to find improvements, anti-join to
+        # drop replaced rows, union back) walked the state three times
+        # with two (qid, node) joins per superstep; one full-outer join
+        # computes the identical row set — kept rows where the old
+        # tie-break struct wins or no candidate exists (_new false),
+        # updated/new rows where the candidate struct strictly wins
+        # (_new true).
+        best = msgs.groupBy("qid", "node").agg(F.min(F.struct(*key)).alias("_cand"))
         old = state.select("qid", "node", F.struct(*key).alias("_old"))
-        improved = (
-            best.join(old, ["qid", "node"], "left")
-            .filter(F.col("_old").isNull() | (F.struct(*key) < F.col("_old")))
-            .select(*cols)
+        better = F.col("_cand").isNotNull() & (
+            F.col("_old").isNull() | (F.col("_cand") < F.col("_old"))
         )
         new_state = (
-            state.join(improved.select("qid", "node"), ["qid", "node"], "left_anti")
-            .select(*cols)
-            .withColumn("_new", F.lit(False))
-            .unionByName(improved.withColumn("_new", F.lit(True)))
+            old.join(best, ["qid", "node"], "full")
+            .withColumn("_m", F.when(better, F.col("_cand")).otherwise(F.col("_old")))
+            .withColumn("_new", better)
+            .select("qid", "node", *[F.col(f"_m.{c}").alias(c) for c in key], "_new")
         )
         obs = Observation()
         metric_exprs = [

@@ -158,23 +158,23 @@ def zigzag_sssp(
             )
             .filter(F.col("dist") <= cutoff)
         )
-        best = (
-            msgs.groupBy("node")
-            .agg(F.min(F.struct("dist", "g", "prev")).alias("m"))
-            .select("node", "m.dist", "m.g", "m.prev")
+        # single full-outer merge of old state vs candidate minima (same
+        # rewrite as bounded_sssp: the former left-join + anti-join +
+        # union walked the state three times per superstep for the
+        # identical row set)
+        best = msgs.groupBy("node").agg(
+            F.min(F.struct("dist", "g", "prev")).alias("_cand")
         )
         old = state.select("node", F.struct("dist", "g", "prev").alias("_old"))
-        improved = (
-            best.join(old, "node", "left")
-            .filter(F.col("_old").isNull() | (F.struct("dist", "g", "prev") < F.col("_old")))
-            .select(*cols)
+        better = F.col("_cand").isNotNull() & (
+            F.col("_old").isNull() | (F.col("_cand") < F.col("_old"))
         )
         obs = Observation()
         state = mat.materialize(
-            state.join(improved.select("node"), "node", "left_anti")
-            .select(*cols)
-            .withColumn("_new", F.lit(False))
-            .unionByName(improved.withColumn("_new", F.lit(True)))
+            old.join(best, "node", "full")
+            .withColumn("_m", F.when(better, F.col("_cand")).otherwise(F.col("_old")))
+            .withColumn("_new", better)
+            .select("node", "_m.dist", "_m.g", "_m.prev", "_new")
             .observe(
                 obs,
                 F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt"),

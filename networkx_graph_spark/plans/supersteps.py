@@ -263,16 +263,20 @@ class SuperstepRunner:
         if not self.wants_step_persist():
             raise RuntimeError("persist_state requires bucketed checkpoints")
         path = self._iter_dir(name, i)
-        # record the bucket spec once so a fresh-process resume can safely
+        # record the bucket spec so a fresh-process resume can safely
         # re-register the external table over these files (see
-        # _register_bucketed)
+        # _register_bucketed). Written UNCONDITIONALLY: a write-if-absent
+        # marker goes stale when a later run persists checkpoints with a
+        # different bucket spec into the same job dir, and a resume
+        # matching the stale marker would declare the old spec over files
+        # written under the new one — Spark trusts the declared placement
+        # for exchange elision and would silently misplace rows. The
+        # marker therefore always describes the files of the newest
+        # persist (the ones resume() registers).
         os.makedirs(self._job_dir(name), exist_ok=True)
         marker = os.path.join(self._job_dir(name), "_bucket_spec.json")
-        if not os.path.exists(marker):
-            with open(marker, "w") as f:
-                json.dump(
-                    {"cols": self.bucket_cols, "count": self.bucket_count}, f
-                )
+        with open(marker, "w") as f:
+            json.dump({"cols": self.bucket_cols, "count": self.bucket_count}, f)
         tbl = self._table_name(name, i)
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (

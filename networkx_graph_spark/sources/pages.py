@@ -209,6 +209,14 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     try:
         in_catalog = spark.catalog.tableExists(source)
     except Exception as exc:
+        # tableExists raises ParseException for names that are not valid
+        # SQL identifiers (e.g. 'my-pages', 'pages dir'); such a name can
+        # still be a perfectly good bare relative directory, which the
+        # filesystem fallback below must keep serving. Reserve the error
+        # for names that are neither parseable identifiers nor existing
+        # paths.
+        if os.path.exists(source):
+            return spark.read.parquet(source)
         raise ValueError(
             f"read_pages: {source!r} looks like a catalog identifier but the "
             f"session catalog cannot resolve it ({exc}). Reading through a "
