@@ -270,7 +270,10 @@ class SparkDiGraph:
             # bucketed-scan edges already report HashPartitioning(src, P);
             # everything else needs the explicit exchange once
             ew = ew.repartition(self.num_partitions, "src")
-        ew = ew.persist()
+        # src-sort within partitions before caching: the in-memory scan
+        # reports the ordering, so every superstep's sort-merge
+        # frontier⋈edges join skips re-sorting the (large) edge side
+        ew = ew.sortWithinPartitions("src").persist()
         ew.count()
         return ew
 
@@ -293,7 +296,8 @@ class SparkDiGraph:
         )
         if self._edges_rev_scan is None:
             ew = ew.repartition(self.num_partitions, "src")
-        ew = ew.persist()
+        # same pre-sorted cache as edges_w (skip the per-superstep sort)
+        ew = ew.sortWithinPartitions("src").persist()
         ew.count()
         return ew
 

@@ -49,6 +49,10 @@ def _sym_clustered(edges: DataFrame, num_partitions: int) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .repartition(num_partitions, "src")
         .dropDuplicates(["src", "dst"])
+        # src-sort before the callers cache it: the in-memory scan then
+        # reports the ordering and the per-round sort-merge state⋈edges
+        # join skips re-sorting the edge side
+        .sortWithinPartitions("src")
     )
 
 

@@ -128,40 +128,57 @@ def _pagerank_impl(
     # children share one ReusedExchange). The previous shape recomputed a
     # full (src, dst)-hash distinct up to five times per call (vertices,
     # out_deg, cedges, dangling anti-join, init join).
+    # The dedup subtree feeds both children of the out-degree join;
+    # measured at 16M edges the planner did NOT reuse the exchange across
+    # them (ReusedExchange absent from the executed plan), so it is
+    # persisted for the duration of the setup and explicitly released
+    # once cedges and vertices are materialized.
     dedup = edges.select("src", "dst").repartition(num_partitions, "src")
     if not assume_distinct:
         dedup = dedup.dropDuplicates(["src", "dst"])
+    dedup = dedup.persist()
     out_deg = dedup.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # contribution edges: ONLY persisted edge table; src-clustered, reused
-    # by every superstep's ranks⋈edges join with no exchange on this side
+    # contribution edges: ONLY long-lived persisted edge table;
+    # src-clustered AND src-sorted within partitions — the in-memory scan
+    # reports both, so every superstep's sort-merge ranks⋈edges join
+    # needs neither an exchange nor a re-sort of the edge side (the
+    # dominant per-superstep sort at 16M edges)
     cedges = (
         dedup.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+        .sortWithinPartitions("src")
         .persist()
     )
     cedges.count()
-    # distinct sources, partition-local over the cached cedges (no exchange)
-    src_ids = cedges.select(F.col("src").alias("id")).dropDuplicates(["id"])
-    vertices = (
-        src_ids.unionByName(cedges.select(F.col("dst").alias("id")))
-        .distinct()
+    # Vertex set, dangling flags, and both setup counts in ONE map-side-
+    # partial aggregation pass over the cached cedges: a vertex is
+    # dangling iff it never occurs as src, i.e. max(has_out) over its
+    # endpoint occurrences is false. The former shape ran a separate
+    # endpoint distinct, a distinct-src count, an anti-join (r4) and an
+    # init left-join; this is one exchange and one cached table.
+    vstate = (
+        cedges.select(F.col("src").alias("id"), F.lit(True).alias("_ho"))
+        .unionByName(cedges.select(F.col("dst").alias("id"), F.lit(False).alias("_ho")))
+        .groupBy("id")
+        .agg(F.max("_ho").alias("_ho"))
         .persist()
     )
-    n = vertices.count()
-    # dangling vertices = vertices with no out-edges; a count difference
-    # replaces the former anti-join job
-    n_dangling = n - src_ids.count()
+    counts = vstate.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("_ho").cast("long")), F.lit(0)).alias("n_src"),
+    ).collect()[0]
+    n, n_dangling = counts["n"], counts["n"] - counts["n_src"]
+    dedup.unpersist()
 
-    init = (
-        vertices.join(src_ids.withColumn("_has_out", F.lit(True)), "id", "left")
-        .select(
-            "id",
-            F.lit(1.0 / n).alias("rank"),
-            F.lit(0.0).alias("prev_rank"),
-            F.col("_has_out").isNull().alias("dangling"),
-        )
-        .repartition(num_partitions, "id")
-    )
+    # vstate is already hash(id)-clustered (the groupBy exchange) — the
+    # init projection keeps that partitioning; the within-partition sort
+    # rides into the first superstep's state scan via localCheckpoint
+    init = vstate.select(
+        "id",
+        F.lit(1.0 / n).alias("rank"),
+        F.lit(0.0).alias("prev_rank"),
+        (~F.col("_ho")).alias("dangling"),
+    ).sortWithinPartitions("id")
 
     mat = Materializer()
     # dm of the uniform init state; afterwards maintained via observations.
@@ -254,15 +271,18 @@ def _pagerank_impl(
                 ).alias("dm"),
             )
             sub_obs.append(obs)
-            # Re-cluster every sub-iteration's output on id. For the last
-            # sub-iteration this is the pre-materialize clustering the
-            # checkpoint/bucketed write needs; for intermediate fused
-            # sub-iterations it caps the top of the sub-plan with an
-            # Exchange so the NEXT sub-iteration's three consumers (the
-            # dangling-mass scalar, the contributions join, the prev-rank
-            # projection) all collapse onto one ReusedExchange instead of
-            # re-executing the whole sub-plan per consumer.
-            cur = cur.repartition(num_partitions, "id")
+            # Re-cluster every sub-iteration's output on id (and sort
+            # within partitions: localCheckpoint preserves ordering, so
+            # the next superstep's two id-keyed sort-merge joins skip
+            # their state-side sorts). For the last sub-iteration this is
+            # the pre-materialize clustering the checkpoint/bucketed
+            # write needs; for intermediate fused sub-iterations it caps
+            # the top of the sub-plan with an Exchange so the NEXT
+            # sub-iteration's three consumers (the dangling-mass scalar,
+            # the contributions join, the prev-rank projection) all
+            # collapse onto one ReusedExchange instead of re-executing
+            # the whole sub-plan per consumer.
+            cur = cur.repartition(num_partitions, "id").sortWithinPartitions("id")
         clustered = cur
         if durable:
             # the bucketed write IS the superstep action: Observation
@@ -300,6 +320,6 @@ def _pagerank_impl(
     # capped at max_iter
     result.iterations = min(result.iterations * fuse, max_iter)
     mat.release()
-    for df in (vertices, cedges):
+    for df in (vstate, cedges):
         df.unpersist()
     return result

@@ -23,17 +23,29 @@ from pyspark.sql import functions as F
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
-    """Canonical undirected pairs oriented low (degree, id) -> high."""
+    """Canonical undirected pairs oriented low (degree, id) -> high.
+
+    Returns a PERSISTED, materialized DataFrame (callers may persist
+    again — idempotent — and own the unpersist). The canonical-pair
+    dedup (``und``) and the degree table are cached for the duration of
+    the build: un-persisted, the `und` distinct subtree (a full
+    (a, b)-hash exchange + aggregate) re-executed once per reference —
+    twice inside the degree union and once per degree join, four full
+    dedup passes where one suffices (visible as four repeated
+    HashAggregate+Exchange+HashAggregate subtrees in
+    plans/r06/triangles_powerlaw_before.txt)."""
     und = (
         edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     j = (
         und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a")), "a")
@@ -42,10 +54,14 @@ def _oriented(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    return j.select(
+    out = j.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).persist()
+    out.count()
+    und.unpersist()
+    deg.unpersist()
+    return out
 
 
 def triangle_count(edges: DataFrame) -> int:

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy: sort-merge stays the default. MEASURED this round
+        # (BENCH/r06/bench_a2_shj.json vs bench_a1.json): a global
+        # preferSortMergeJoin=false + AQE shuffled-hash rewrite regressed
+        # the superstep kernels (pagerank_powerlaw 24.3->36.0s, cc_powerlaw
+        # 14.5->18.5s — per-superstep hash-map rebuilds beat re-sorts only
+        # on paper here) and was a wash for the wedge joins (triangles
+        # 5.4s vs 5.6s warm either way). Guide §3.1's advice to pick
+        # deliberately, applied: deliberately sort-merge.
         # 300s default broadcastTimeout is a known failure mode for long
         # degraded stages on busy hosts/clusters: the action thread throws
         # while the broadcast stage is still computing, killing the whole

@@ -105,6 +105,30 @@ def normalize_url(base_url: str, href: str) -> Optional[str]:
     return urlunsplit((scheme, host, path, parts.query, ""))
 
 
+def _parse_one(blob: Optional[bytes]) -> tuple[str, list[str]]:
+    """Text + raw hrefs with ONE decode and ONE script/style strip per
+    page (the public ``extract_text``/``extract_hrefs`` pair each did
+    both — double the regex work on the dominant ingest path). Step
+    sequence is identical to composing the two public functions, so the
+    byte-identical-text gate and the href list are unchanged."""
+    if blob is None:
+        return "", []
+    s = _SCRIPT_RE.sub(" ", blob.decode("utf-8", errors="replace"))
+    t = _HEAD_RE.sub(" ", s)
+    t = _BLOCK_RE.sub("\n", t)
+    t = _TAG_RE.sub(" ", t)
+    t = _html.unescape(t)
+    lines = [" ".join(line.split()) for line in t.split("\n")]
+    text = "\n".join(line for line in lines if line)
+    hrefs = []
+    for m in _HREF_RE.finditer(s):
+        href = m.group(1) or m.group(2) or m.group(3) or ""
+        href = _html.unescape(href).strip()
+        if href:
+            hrefs.append(href)
+    return text, hrefs
+
+
 def parse_pages(pages: DataFrame) -> DataFrame:
     """pages -> (url, text STRING, links ARRAY<STRING>) via one
     Arrow-batched mapInPandas pass (html decoded once per row for both
@@ -114,9 +138,10 @@ def parse_pages(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             texts, links = [], []
             for url, blob in zip(pdf["url"], pdf["html"]):
-                texts.append(extract_text(blob))
+                text, hrefs = _parse_one(blob)
+                texts.append(text)
                 normed = []
-                for href in extract_hrefs(blob):
+                for href in hrefs:
                     n = normalize_url(url, href)
                     if n is not None:
                         normed.append(n)
