@@ -680,3 +680,54 @@ def test_lpa_checkpoint_resume(spark, tmp_path):
     assert a == b
     assert resumed.metrics[0]["iteration"] == 3
     assert resumed.iterations == 5
+
+
+def test_pagerank_assume_distinct_parity(spark, edges_df):
+    """assume_distinct=True on a distinct-by-construction edge table must
+    reproduce the default path exactly — and must NOT dedupe: a table
+    WITH duplicates then legitimately double-counts them."""
+    from networkx_graph_spark.kernels.pagerank import pagerank
+    from pyspark.sql import functions as F
+
+    a = {r["id"]: r["rank"]
+         for r in pagerank(edges_df, tol=-1.0, max_iter=5).state.collect()}
+    b = {r["id"]: r["rank"]
+         for r in pagerank(edges_df, tol=-1.0, max_iter=5,
+                           assume_distinct=True).state.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, k
+    # duplicate-edge input where the dup provably shifts weight: 0->1
+    # twice plus 0->2 once. Dedup: both successors get 1/2 of rank(0);
+    # assume_distinct: node 1 gets 2/3, node 2 gets 1/3.
+    dup = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2)], "src long, dst long"
+    )
+    with_dedup = {r["id"]: r["rank"]
+                  for r in pagerank(dup, tol=-1.0, max_iter=1).state.collect()}
+    without = {r["id"]: r["rank"]
+               for r in pagerank(dup, tol=-1.0, max_iter=1,
+                                 assume_distinct=True).state.collect()}
+    assert abs(with_dedup[1] - with_dedup[2]) < 1e-15
+    assert without[1] > without[2] + 1e-3
+    # the deduped run equals the explicitly-distinct run
+    clean = {r["id"]: r["rank"]
+             for r in pagerank(dup.distinct(), tol=-1.0, max_iter=1).state.collect()}
+    for k in clean:
+        assert abs(with_dedup[k] - clean[k]) < 1e-12, k
+
+
+def test_lpa_winner_tie_break(spark):
+    """The min-struct vote winner must keep the window semantics: max
+    count, ties to the smallest label. 0-1-2 triangle plus pendant 3-4:
+    node 1 sees labels {0, 2} with equal count -> picks 0."""
+    from networkx_graph_spark.kernels.lpa import label_propagation
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4)], "src long, dst long"
+    )
+    res = label_propagation(e, max_iter=1)
+    labels = {r["id"]: r["label"] for r in res.state.collect()}
+    # each vertex of the triangle adopts the min neighbour label after 1 round
+    assert labels[1] == 0 and labels[2] == 0 and labels[0] == 1
+    assert labels[3] == 4 or labels[3] == 3  # symmetric pair swaps labels
