@@ -288,18 +288,23 @@ def _pagerank_impl(
                 ).alias("dm"),
             )
             sub_obs.append(obs)
-            # Re-cluster every sub-iteration's output on id (and sort
-            # within partitions: localCheckpoint preserves ordering, so
-            # the next superstep's two id-keyed sort-merge joins skip
-            # their state-side sorts). For the last sub-iteration this is
-            # the pre-materialize clustering the checkpoint/bucketed
-            # write needs; for intermediate fused sub-iterations it caps
-            # the top of the sub-plan with an Exchange so the NEXT
-            # sub-iteration's three consumers (the dangling-mass scalar,
-            # the contributions join, the prev-rank projection) all
-            # collapse onto one ReusedExchange instead of re-executing
-            # the whole sub-plan per consumer.
-            cur = cur.repartition(num_partitions, "id").sortWithinPartitions("id")
+            if durable or j < k - 1:
+                # Intermediate fused sub-iterations: cap the sub-plan
+                # with an id-hash Exchange so the next sub-iteration's
+                # three consumers (dangling-mass scalar, contributions
+                # join, prev-rank projection) collapse onto one
+                # ReusedExchange instead of re-executing the sub-plan
+                # per consumer (measured faster than relying on the
+                # join-output partitioning alone). Durable mode also
+                # needs it before the bucketed write (persist_state's
+                # contract: one bucket file per task).
+                cur = cur.repartition(num_partitions, "id").sortWithinPartitions("id")
+            # Final non-durable sub-iteration: NO re-cluster — it ends
+            # in the id-keyed sort-merge join, whose output is already
+            # hash(id)-partitioned and id-sorted, and the non-adaptive
+            # localCheckpoint preserves both into the next superstep's
+            # state scan; an explicit repartition here is a pure extra
+            # state-sized exchange per superstep.
         clustered = cur
         if durable:
             # the bucketed write IS the superstep action: Observation
