@@ -76,14 +76,12 @@ def _fs_read_text(spark: SparkSession, path: str) -> str:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(p)
     try:
-        out = bytearray()
-        buf = bytearray(65536)
-        while True:
-            n = stream.read(buf)
-            if n <= 0:
-                break
-            out += buf[:n]
-        return out.decode("utf-8")
+        # Py4J passes a Python bytearray to byte[] parameters BY VALUE
+        # (JVM-side writes never reach the Python copy), so a
+        # read-into-buffer loop would return NUL bytes — drain the stream
+        # JVM-side and take the returned array instead.
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
     finally:
         stream.close()
 
@@ -92,7 +90,9 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     import os
 
     if "://" not in path:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         with open(path, "w") as f:
             f.write(text)
         return
@@ -233,10 +233,10 @@ class SparkDiGraph:
         """Dictionary DF (node STRING, id BIGINT)."""
         return self._cached_vertices().select("node", "id")
 
-    @cached_property
-    def _vertex_rows(self) -> list:
-        """One guarded collect shared by ``lengths_map`` and ``names_map``
-        (each previously ran its own count + collect)."""
+    def _vertex_maps(self) -> tuple[dict, dict]:
+        """One guarded collect builds BOTH driver maps (each previously
+        ran its own count + collect); the Row list is dropped immediately
+        so only the two dicts stay resident."""
         v = self._cached_vertices()
         n = v.count()
         if n > 2_000_000:
@@ -244,17 +244,23 @@ class SparkDiGraph:
                 "driver-side vertex maps are a fixture-scale convenience; "
                 f"graph has {n} vertices — use DataFrame joins instead"
             )
-        return v.collect()
+        lengths, names = {}, {}
+        for r in v.collect():
+            lengths[r["id"]] = r["length"]
+            names[r["id"]] = r["node"]
+        self.__dict__["lengths_map"] = lengths
+        self.__dict__["names_map"] = names
+        return lengths, names
 
     @cached_property
     def lengths_map(self) -> dict[int, float]:
         """Driver-side id->length map — ONLY for fixture-scale graphs
         (path decoration of collected results). Guarded by size."""
-        return {r["id"]: r["length"] for r in self._vertex_rows}
+        return self._vertex_maps()[0]
 
     @cached_property
     def names_map(self) -> dict[int, str]:
-        return {r["id"]: r["node"] for r in self._vertex_rows}
+        return self._vertex_maps()[1]
 
     @cached_property
     def edges_w(self) -> DataFrame:

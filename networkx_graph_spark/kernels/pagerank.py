@@ -71,6 +71,12 @@ def pagerank(
     with the flag set would be double-counted (both in out-degree and in
     contributions) — only set it for sources that are distinct by
     construction (``pages_to_edges`` output, a ``.distinct()``-ed table).
+
+    Concurrency note: for the duration of the call the kernel adjusts
+    session-level SQL conf (shuffle partitions to ``num_partitions``;
+    adaptive execution off — see the wrapper comment) and restores it on
+    exit. Calls are driver-sequential by design; do not run other
+    queries on the same SparkSession concurrently with a pagerank call.
     """
     spark = edges.sparkSession
     if num_partitions is None:

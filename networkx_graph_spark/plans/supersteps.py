@@ -200,7 +200,16 @@ class SuperstepRunner:
         missing marker raises, and resume() falls back to the plain
         (re-exchanged, always-correct) parquet read."""
         path = self._iter_dir(name, i)
-        with open(os.path.join(self._job_dir(name), "_bucket_spec.json")) as f:
+        # the spec is recorded PER ITERATION DIR: it must describe the
+        # exact files being registered. A job-dir-global marker goes
+        # stale the moment two runs with different specs share the dir —
+        # a resume matching the newer marker would declare it over an
+        # OLDER iteration's files and Spark's trusted exchange elision
+        # would silently misplace rows. No fallback: an iteration without
+        # its own spec (older writer, crash between write and marker)
+        # raises here and resume() takes the always-correct plain
+        # parquet read.
+        with open(os.path.join(path, "_bucket_spec.json")) as f:
             spec = json.load(f)
         if spec != {"cols": self.bucket_cols, "count": self.bucket_count}:
             raise ValueError(
@@ -263,20 +272,7 @@ class SuperstepRunner:
         if not self.wants_step_persist():
             raise RuntimeError("persist_state requires bucketed checkpoints")
         path = self._iter_dir(name, i)
-        # record the bucket spec so a fresh-process resume can safely
-        # re-register the external table over these files (see
-        # _register_bucketed). Written UNCONDITIONALLY: a write-if-absent
-        # marker goes stale when a later run persists checkpoints with a
-        # different bucket spec into the same job dir, and a resume
-        # matching the stale marker would declare the old spec over files
-        # written under the new one — Spark trusts the declared placement
-        # for exchange elision and would silently misplace rows. The
-        # marker therefore always describes the files of the newest
-        # persist (the ones resume() registers).
         os.makedirs(self._job_dir(name), exist_ok=True)
-        marker = os.path.join(self._job_dir(name), "_bucket_spec.json")
-        with open(marker, "w") as f:
-            json.dump({"cols": self.bucket_cols, "count": self.bucket_count}, f)
         tbl = self._table_name(name, i)
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
@@ -286,6 +282,13 @@ class SuperstepRunner:
             .bucketBy(self.bucket_count, *self.bucket_cols)
             .saveAsTable(tbl)
         )
+        # record the bucket spec INSIDE the iteration dir, after the
+        # write, so a fresh-process resume re-registers exactly the spec
+        # these files were written under (a job-dir-global marker goes
+        # stale when runs with different specs share the dir — see
+        # _register_bucketed, which refuses to register without it)
+        with open(os.path.join(path, "_bucket_spec.json"), "w") as f:
+            json.dump({"cols": self.bucket_cols, "count": self.bucket_count}, f)
         if i >= 2:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(name, i - 2)}")
         return self.spark.table(tbl)

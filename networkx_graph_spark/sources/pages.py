@@ -51,26 +51,23 @@ _HREF_RE = re.compile(
 )
 
 
-def extract_text(html_bytes: Optional[bytes]) -> str:
-    """Deterministic HTML → text (spec in module docstring)."""
-    if html_bytes is None:
-        return ""
-    s = html_bytes.decode("utf-8", errors="replace")
-    s = _SCRIPT_RE.sub(" ", s)
-    s = _HEAD_RE.sub(" ", s)
-    s = _BLOCK_RE.sub("\n", s)
-    s = _TAG_RE.sub(" ", s)
-    s = _html.unescape(s)
-    lines = [" ".join(line.split()) for line in s.split("\n")]
+def _stripped(html_bytes: bytes) -> str:
+    """Decode + script/style removal — the stage shared by text and href
+    extraction (ONE implementation; both public functions and the batch
+    parser build on it)."""
+    return _SCRIPT_RE.sub(" ", html_bytes.decode("utf-8", errors="replace"))
+
+
+def _text_from_stripped(s: str) -> str:
+    t = _HEAD_RE.sub(" ", s)
+    t = _BLOCK_RE.sub("\n", t)
+    t = _TAG_RE.sub(" ", t)
+    t = _html.unescape(t)
+    lines = [" ".join(line.split()) for line in t.split("\n")]
     return "\n".join(line for line in lines if line)
 
 
-def extract_hrefs(html_bytes: Optional[bytes]) -> list[str]:
-    """Raw href attribute values in document order."""
-    if html_bytes is None:
-        return []
-    s = html_bytes.decode("utf-8", errors="replace")
-    s = _SCRIPT_RE.sub(" ", s)
+def _hrefs_from_stripped(s: str) -> list[str]:
     out = []
     for m in _HREF_RE.finditer(s):
         href = m.group(1) or m.group(2) or m.group(3) or ""
@@ -78,6 +75,20 @@ def extract_hrefs(html_bytes: Optional[bytes]) -> list[str]:
         if href:
             out.append(href)
     return out
+
+
+def extract_text(html_bytes: Optional[bytes]) -> str:
+    """Deterministic HTML → text (spec in module docstring)."""
+    if html_bytes is None:
+        return ""
+    return _text_from_stripped(_stripped(html_bytes))
+
+
+def extract_hrefs(html_bytes: Optional[bytes]) -> list[str]:
+    """Raw href attribute values in document order."""
+    if html_bytes is None:
+        return []
+    return _hrefs_from_stripped(_stripped(html_bytes))
 
 
 def normalize_url(base_url: str, href: str) -> Optional[str]:
@@ -107,26 +118,14 @@ def normalize_url(base_url: str, href: str) -> Optional[str]:
 
 def _parse_one(blob: Optional[bytes]) -> tuple[str, list[str]]:
     """Text + raw hrefs with ONE decode and ONE script/style strip per
-    page (the public ``extract_text``/``extract_hrefs`` pair each did
-    both — double the regex work on the dominant ingest path). Step
-    sequence is identical to composing the two public functions, so the
-    byte-identical-text gate and the href list are unchanged."""
+    page (calling the two public functions separately did both twice —
+    double the regex work on the dominant ingest path). Same staged
+    pipeline as the public functions, so the byte-identical-text gate
+    and the href list are unchanged by construction."""
     if blob is None:
         return "", []
-    s = _SCRIPT_RE.sub(" ", blob.decode("utf-8", errors="replace"))
-    t = _HEAD_RE.sub(" ", s)
-    t = _BLOCK_RE.sub("\n", t)
-    t = _TAG_RE.sub(" ", t)
-    t = _html.unescape(t)
-    lines = [" ".join(line.split()) for line in t.split("\n")]
-    text = "\n".join(line for line in lines if line)
-    hrefs = []
-    for m in _HREF_RE.finditer(s):
-        href = m.group(1) or m.group(2) or m.group(3) or ""
-        href = _html.unescape(href).strip()
-        if href:
-            hrefs.append(href)
-    return text, hrefs
+    s = _stripped(blob)
+    return _text_from_stripped(s), _hrefs_from_stripped(s)
 
 
 def parse_pages(pages: DataFrame) -> DataFrame:

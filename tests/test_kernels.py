@@ -731,3 +731,37 @@ def test_lpa_winner_tie_break(spark):
     # each vertex of the triangle adopts the min neighbour label after 1 round
     assert labels[1] == 0 and labels[2] == 0 and labels[0] == 1
     assert labels[3] == 4 or labels[3] == 3  # symmetric pair swaps labels
+
+
+def test_bucketed_resume_rejects_mixed_spec_dir(spark, edges_df, tmp_path):
+    """Two runs with different bucket specs sharing a job dir: a resume
+    whose latest complete checkpoint was written under the OTHER spec
+    must fall back to the plain parquet read (never register a bucketed
+    table over mismatched files), and still produce correct ranks."""
+    from networkx_graph_spark.kernels.pagerank import pagerank
+    from networkx_graph_spark.plans.supersteps import SuperstepRunner
+
+    d = str(tmp_path / "ckm")
+    r16 = SuperstepRunner(spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=16)
+    full = pagerank(edges_df, tol=-1.0, max_iter=4, runner=r16,
+                    name="prm", num_partitions=16)
+    expect = {r["id"]: r["rank"] for r in full.state.collect()}
+    # drop the session catalog entries so resume exercises the
+    # fresh-process path (_register_bucketed / plain-read fallback)
+    for i in range(5):
+        spark.sql(f"DROP TABLE IF EXISTS {r16._table_name('prm', i)}")
+    # a NEW run with bucket_count=4 resumes from the count=16 files:
+    # the per-iteration spec mismatches, so registration must refuse
+    # and the plain read must serve the state
+    r4 = SuperstepRunner(spark, checkpoint_dir=d, bucket_cols=["id"], bucket_count=4)
+    got = r4.resume("prm")
+    assert got is not None
+    state, nxt = got
+    # plan must NOT claim a bucketed scan (no ckpt_ table registered)
+    assert not spark.catalog.tableExists(r4._table_name("prm", nxt - 1))
+    resumed = pagerank(edges_df, tol=-1.0, max_iter=4, runner=r4,
+                       name="prm", resume=True, num_partitions=4)
+    for k, v in expect.items():
+        # same iteration count resumed under a different partitioning:
+        # identical math up to FP summation order
+        assert abs({r["id"]: r["rank"] for r in resumed.state.collect()}[k] - v) < 1e-12
