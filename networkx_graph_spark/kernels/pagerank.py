@@ -50,21 +50,22 @@ def pagerank(
 ) -> SuperstepResult:
     """edges: (src BIGINT, dst BIGINT). Returns state (id, rank).
 
-    ``fuse``: power iterations per Spark job (iteration fusion). One job
-    evaluates ``fuse`` chained rank updates — the intermediate dangling
-    mass becomes an in-plan scalar aggregate (broadcast cross join) instead
-    of a driver literal, so the global barrier / scheduling / checkpoint
-    cost is paid once per ``fuse`` iterations; the exact iteration COUNT is
-    preserved (the last job runs the remainder). Numerically: the same
-    update formula, but intermediate sub-iterations are not repartitioned,
-    so floating-point summation order differs from fuse=1 at the ~1e-15
-    level (still deterministic for a fixed (fuse, shuffle-partitions)
-    config — the cross-parallelism determinism gate holds because the
-    partition COUNT, not the core count, fixes the aggregation tree).
-    Oracle-pinned fixed-round queries therefore keep fuse=1. With a
-    tolerance, every sub-iteration's delta is Observed; the returned state
-    is the last computed sub-iteration — up to ``fuse-1`` refinement
-    iterations past the first sub-tol delta (each ≤ tol).
+    ``fuse``: power iterations per OUTER superstep — the checkpoint /
+    metrics / convergence-check cadence. Each outer step runs ``fuse``
+    rank updates (the last step runs the remainder, so the exact
+    iteration COUNT is preserved), records one metrics line, makes at
+    most one durable checkpoint, and checks convergence once, on the
+    final sub-iteration's delta — so a tolerance run may refine up to
+    ``fuse-1`` iterations past the first sub-tol delta (each ≤ tol).
+    Every sub-iteration is materialized individually and the dangling
+    mass enters each sub-plan as a driver literal from the previous
+    sub-iteration's Observation: in-plan chaining (intermediate dangling
+    mass as a broadcast scalar) was measured strictly slower — see the
+    step-function comment. Sub-iteration plans are identical to fuse=1
+    plans, so results match fuse=1 up to the Observation accumulator
+    merge order (ulp-level, contention-dependent — the same seam every
+    outer-step boundary already has). Oracle-pinned fixed-round queries
+    keep fuse=1.
 
     ``assume_distinct``: the caller asserts ``edges`` carries no duplicate
     (src, dst) rows, skipping the ingest dedup entirely. Duplicate edges
@@ -221,10 +222,8 @@ def _pagerank_impl(
                 dm0 = float(rec["dangling_mass"])
     dm_holder = {"dm": dm0}
 
-    def _one_update(cur: DataFrame, dm_expr, tag: str, carry=()) -> DataFrame:
-        """One chained rank update as a plan transform (no action);
-        ``carry`` columns (e.g. the in-plan dangling-mass scalar) ride
-        through the state projection so ``dm_expr`` can reference them."""
+    def _one_update(cur: DataFrame, dm_expr, tag: str) -> DataFrame:
+        """One rank update as a plan transform (no action)."""
         ce = cedges.select(
             F.col("src").alias(f"_csrc{tag}"),
             F.col("dst").alias(f"_cdst{tag}"),
@@ -240,7 +239,7 @@ def _pagerank_impl(
             .agg(F.sum("c").alias(f"_c{tag}"))
         )
         return (
-            cur.select("id", F.col("rank").alias("prev_rank"), "dangling", *carry)
+            cur.select("id", F.col("rank").alias("prev_rank"), "dangling")
             .join(contribs, "id", "left")
             .select(
                 "id",
@@ -257,6 +256,8 @@ def _pagerank_impl(
     def step(state: DataFrame, i: int):
         from pyspark.sql import Observation
 
+        from ..plans.supersteps import _free_checkpoint
+
         dm = dm_holder["dm"]
         if dm is None:
             # resume path: recompute the dangling mass from the loaded state
@@ -269,58 +270,70 @@ def _pagerank_impl(
         # index (not a process-local counter) so fuse>1 plans the correct
         # remainder after a checkpoint resume in a fresh process
         k = min(fuse, max_iter - i * fuse)
+        # Each sub-iteration materializes INDIVIDUALLY (one localCheckpoint
+        # job per power iteration); the dangling mass always enters the
+        # next sub-plan as a driver literal from the previous
+        # sub-iteration's Observation — exactly the mechanism that already
+        # carried it across outer steps. In-plan chaining of fused
+        # sub-iterations (the previous shape: intermediate dangling mass
+        # as a broadcast scalar cross-joined into the next update) was
+        # MEASURED strictly slower at compute scale: the executed fuse=2
+        # step plan had 13 SortMergeJoins and ZERO ReusedExchange —
+        # column pruning specializes each consumer's copy of the
+        # sub-plan, the id-hash repartition cap is elided by the
+        # optimizer (child already hash(id, P)-partitioned), and the
+        # whole first sub-iteration re-executed up to 4x per step (twice
+        # in the main job plus two broadcast-future jobs). At 16M edges:
+        # 5.9-6.4 s per fused pair vs 1.1-1.2 s per materialized
+        # iteration (same session, warm); a persist()-barrier variant
+        # that stopped the re-execution still paid cache write + two
+        # broadcast futures and stayed ~3x slower than materializing.
+        # ``fuse`` therefore now controls ONLY the checkpoint / metrics /
+        # convergence-check cadence (unchanged contract: one durable
+        # write and one convergence check per outer step, up to fuse-1
+        # refinement iterations past the first sub-tol delta).
         cur = state
-        sub_obs = []
+        subs = []
+        prev_ck: Optional[DataFrame] = None  # durable-mode intermediate
         for j in range(k):
-            if j == 0:
-                dm_expr = F.lit(float(dm))
-                carry = ()
-            else:
-                # intermediate dangling mass: in-plan scalar aggregate of the
-                # previous sub-iteration, broadcast into every row
-                dm_df = cur.filter(F.col("dangling")).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias(f"_dm{j}")
-                )
-                dm_expr = F.col(f"_dm{j}")
-                carry = (f"_dm{j}",)
-                cur = cur.crossJoin(F.broadcast(dm_df))
-            cur = _one_update(cur, dm_expr, tag=str(j), carry=carry)
+            upd = _one_update(cur, F.lit(float(dm)), tag=str(j))
             obs = Observation()
-            cur = cur.observe(
+            upd = upd.observe(
                 obs,
                 F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
                 F.coalesce(
                     F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
                 ).alias("dm"),
             )
-            sub_obs.append(obs)
-            if durable or j < k - 1:
-                # Intermediate fused sub-iterations: cap the sub-plan
-                # with an id-hash Exchange so the next sub-iteration's
-                # three consumers (dangling-mass scalar, contributions
-                # join, prev-rank projection) collapse onto one
-                # ReusedExchange instead of re-executing the sub-plan
-                # per consumer (measured faster than relying on the
-                # join-output partitioning alone). Durable mode also
-                # needs it before the bucketed write (persist_state's
-                # contract: one bucket file per task).
-                cur = cur.repartition(num_partitions, "id").sortWithinPartitions("id")
-            # Final non-durable sub-iteration: NO re-cluster — it ends
-            # in the id-keyed sort-merge join, whose output is already
-            # hash(id)-partitioned and id-sorted, and the non-adaptive
-            # localCheckpoint preserves both into the next superstep's
-            # state scan; an explicit repartition here is a pure extra
-            # state-sized exchange per superstep.
-        clustered = cur
-        if durable:
-            # the bucketed write IS the superstep action: Observation
-            # metrics ride it, and the read-back scan keeps
-            # hashpartitioning(id) so the next superstep's joins need no
-            # vertex-state exchange
-            new_state = runner.persist_state(clustered, name, i)
-        else:
-            new_state = mat.materialize(clustered)
-        subs = [o.get for o in sub_obs]
+            last = j == k - 1
+            if durable and last:
+                # the bucketed write IS the outer-step action: Observation
+                # metrics ride it, and the read-back scan keeps
+                # hashpartitioning(id) so the next superstep's joins need
+                # no vertex-state exchange. Pre-cluster per
+                # persist_state's contract (one bucket file per task).
+                upd = upd.repartition(num_partitions, "id").sortWithinPartitions("id")
+                cur = runner.persist_state(upd, name, i)
+            elif durable:
+                # durable intermediates stay in-memory (durable cadence is
+                # per OUTER step, unchanged); freed once the next
+                # sub-iteration is materialized from them
+                cur = upd.localCheckpoint(eager=True)
+            else:
+                # the sub-iteration plan ends in the id-keyed sort-merge
+                # join, whose output is already hash(id)-partitioned and
+                # id-sorted; the non-adaptive localCheckpoint preserves
+                # both into the next sub-iteration's state scan
+                cur = mat.materialize(upd)
+            if prev_ck is not None:
+                _free_checkpoint(prev_ck)
+                prev_ck = None
+            if durable and not last:
+                prev_ck = cur
+            got = obs.get
+            subs.append(got)
+            dm = got["dm"]
+        new_state = cur
         dm_holder["dm"] = subs[-1]["dm"]
         return new_state, {
             "max_delta": subs[-1]["delta"],
