@@ -190,6 +190,10 @@ class SparkDiGraph:
     ) -> "SparkDiGraph":
         """Build from an integer edge DataFrame ``(src, dst)``; vertices not
         listed get ``default_length`` (auto-create semantics of add_edge)."""
+        # (Measured and rejected: persisting this deduped edge table to
+        # spare the edges_w build one re-execution of the caller's edge
+        # pipeline was a wash at tri-graph scale — the cache write cost
+        # what the recompute saved — and adds a raw-edge-sized cache.)
         edges = edges.select(
             F.col("src").cast("long"), F.col("dst").cast("long")
         ).distinct()
@@ -244,10 +248,13 @@ class SparkDiGraph:
                 "driver-side vertex maps are a fixture-scale convenience; "
                 f"graph has {n} vertices — use DataFrame joins instead"
             )
-        lengths, names = {}, {}
-        for r in v.collect():
-            lengths[r["id"]] = r["length"]
-            names[r["id"]] = r["node"]
+        # Arrow transfer (session.py enables arrow.pyspark) — the row-based
+        # collect() pickled every Row; toPandas moves the three columns as
+        # columnar batches (measured ~2x faster on the ~300k-vertex tri
+        # graph driver-map build)
+        pdf = v.select("id", "length", "node").toPandas()
+        lengths = dict(zip(pdf["id"].tolist(), pdf["length"].tolist()))
+        names = dict(zip(pdf["id"].tolist(), pdf["node"].tolist()))
         self.__dict__["lengths_map"] = lengths
         self.__dict__["names_map"] = names
         return lengths, names
