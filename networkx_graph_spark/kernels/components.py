@@ -272,6 +272,20 @@ def _cc_twophase(
             state.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
 
+    def _nbrs_with_min(state: DataFrame) -> DataFrame:
+        # The per-u minimum m = min(Γ(u) ∪ {u}) attached to every
+        # symmetrized pair in ONE u-hash exchange + one per-partition
+        # sort, via a window. The former aggregate+join shape planned the
+        # union TWICE (the groupBy consumer and the join consumer each
+        # shuffled their own column-pruned copy — two parallel ~0.5-0.7 s
+        # map jobs per star at 1M edges, never merged by exchange reuse)
+        # and then paid a sort-merge join to re-attach m.
+        from pyspark.sql import Window
+
+        return _nbrs(state).repartition(num_partitions, "u").withColumn(
+            "m", F.min(F.least("v", "u")).over(Window.partitionBy("u"))
+        )
+
     # Both stars dedupe their output with a partition-local dropDuplicates
     # ON TOP OF the u-hash repartition the next round's groupBy needs
     # anyway (HashPartitioning(u) satisfies ClusteredDistribution([u, v]))
@@ -282,10 +296,8 @@ def _cc_twophase(
     # to the order-insensitive convergence signature).
     def large_star(state: DataFrame) -> DataFrame:
         # for each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
-        nbrs = _nbrs(state)
-        m = nbrs.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
         return (
-            nbrs.join(m, "u")
+            _nbrs_with_min(state)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -295,12 +307,14 @@ def _cc_twophase(
 
     def small_star(state: DataFrame) -> DataFrame:
         # for each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v < u and (u, m)
-        nbrs = _nbrs(state)
-        m = nbrs.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
-        j = nbrs.join(m, "u")
-        out = j.filter(F.col("v") < F.col("u")).select(
+        nm = _nbrs_with_min(state)
+        out = nm.filter(F.col("v") < F.col("u")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
-        ).unionByName(m.select("u", F.col("m").alias("v")))
+        ).unionByName(
+            # one (u, m) row per u; the dedup is partition-local on the
+            # u-clustered window output (no extra exchange)
+            nm.select("u", F.col("m").alias("v")).dropDuplicates(["u"])
+        )
         return (
             out.filter(F.col("u") != F.col("v"))
             .repartition(num_partitions, "u")
