@@ -204,7 +204,6 @@ def _pagerank_impl(
     init = vstate.select(
         "id",
         F.lit(1.0 / n).alias("rank"),
-        F.lit(0.0).alias("prev_rank"),
         (~F.col("_ho")).alias("dangling"),
     ).sortWithinPartitions("id")
 
@@ -309,6 +308,12 @@ def _pagerank_impl(
                     F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
                 ).alias("dm"),
             )
+            # prev_rank exists only for the delta Observation above; it
+            # is projected OUT of the materialized state (the metric
+            # expressions keep the CollectMetrics node's inputs alive,
+            # the checkpoint shrinks by 8 bytes/row — ~30% of the
+            # per-iteration state write+scan)
+            upd = upd.select("id", "rank", "dangling")
             last = j == k - 1
             if durable and last:
                 # the bucketed write IS the outer-step action: Observation
