@@ -121,6 +121,12 @@ def bounded_sssp(
     from ..plans.supersteps import Materializer, SuperstepRunner, _free_checkpoint
 
     pl = list(payload_cols)
+    # the hoisted name-resolved message projection below requires payload
+    # names disjoint from the edge columns (they always were in spirit —
+    # the seeds schema is (qid, node, dist, prev, prev_dist, payload...))
+    _reserved = {"src", "dst", "weight", "cutoff"}
+    if _reserved & set(pl):
+        raise ValueError(f"payload_cols may not use reserved names {_reserved}")
     key = ["dist", "prev_dist", "prev", *pl]
     cols = ["qid", "node", "dist", "prev", "prev_dist", *pl]
     runner = runner or SuperstepRunner(spark)
@@ -139,6 +145,44 @@ def bounded_sssp(
             targets.select("qid", "node").withColumn("_is_tgt", F.lit(True))
         )
     init = seeds.select(*cols).withColumn("_new", F.lit(True))
+
+    # Loop-invariant plan fragments, built once (same driver-latency lever
+    # as the PageRank kernel: Column expressions are immutable and resolve
+    # by name, so rebuilding them per superstep only pays py4j/Catalyst
+    # construction time again). Names are unambiguous in every join below
+    # (state: qid/node/dist/prev/prev_dist/payload; edges: src/dst/weight).
+    _fsel_cols = ("qid", "node", "dist", *pl)
+    _msg_jcond = F.col("node") == F.col("src")
+    _msg_proj = (
+        F.col("qid"),
+        F.col("dst").alias("node"),
+        (F.col("dist") + F.col("weight")).alias("dist"),
+        F.col("src").alias("prev"),
+        F.col("dist").alias("prev_dist"),
+        *[F.col(c) for c in pl],
+    )
+    if isinstance(cutoffs, (int, float)):
+        _cut_filter = F.col("dist") <= F.lit(float(cutoffs))
+        _cut_bcast = None
+    else:
+        _cut_filter = F.col("dist") <= F.col("cutoff")
+        _cut_bcast = F.broadcast(cutoffs)
+    _cand_agg = F.min(F.struct(*key)).alias("_cand")
+    _old_proj = ("qid", "node", F.struct(*key).alias("_old"))
+    _better = F.col("_cand").isNotNull() & (
+        F.col("_old").isNull() | (F.col("_cand") < F.col("_old"))
+    )
+    _merge = F.when(_better, F.col("_cand")).otherwise(F.col("_old"))
+    _state_proj = (
+        "qid",
+        "node",
+        *[F.col(f"_m.{c}").alias(c) for c in key],
+        "_new",
+    )
+    _cnt_metric = F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt")
+    _hits_metric = F.collect_list(
+        F.when(F.col("_is_tgt") & F.col("_new"), F.struct("qid", "dist"))
+    ).alias("hits")
 
     def step(state: DataFrame, i: int):
         if targets is not None and not tb_seeded["done"]:
@@ -161,26 +205,11 @@ def bounded_sssp(
         f = frontier
         if sinks is not None:
             f = f.join(F.broadcast(sinks), ["qid", "node"], "left_anti")
-        fsel = f.select("qid", "node", "dist", *pl)
-        msgs = (
-            fsel.join(edges_w, fsel["node"] == edges_w["src"])
-            .select(
-                fsel["qid"],
-                edges_w["dst"].alias("node"),
-                (fsel["dist"] + edges_w["weight"]).alias("dist"),
-                edges_w["src"].alias("prev"),
-                fsel["dist"].alias("prev_dist"),
-                *[fsel[c] for c in pl],
-            )
-        )
-        if isinstance(cutoffs, (int, float)):
-            msgs = msgs.filter(F.col("dist") <= F.lit(float(cutoffs)))
+        msgs = f.select(*_fsel_cols).join(edges_w, _msg_jcond).select(*_msg_proj)
+        if _cut_bcast is None:
+            msgs = msgs.filter(_cut_filter)
         else:
-            msgs = (
-                msgs.join(F.broadcast(cutoffs), "qid")
-                .filter(F.col("dist") <= F.col("cutoff"))
-                .drop("cutoff")
-            )
+            msgs = msgs.join(_cut_bcast, "qid").filter(_cut_filter).drop("cutoff")
         # Single full-outer merge of old state vs candidate minima: the
         # previous shape (left-join to find improvements, anti-join to
         # drop replaced rows, union back) walked the state three times
@@ -189,28 +218,19 @@ def bounded_sssp(
         # tie-break struct wins or no candidate exists (_new false),
         # updated/new rows where the candidate struct strictly wins
         # (_new true).
-        best = msgs.groupBy("qid", "node").agg(F.min(F.struct(*key)).alias("_cand"))
-        old = state.select("qid", "node", F.struct(*key).alias("_old"))
-        better = F.col("_cand").isNotNull() & (
-            F.col("_old").isNull() | (F.col("_cand") < F.col("_old"))
-        )
+        best = msgs.groupBy("qid", "node").agg(_cand_agg)
         new_state = (
-            old.join(best, ["qid", "node"], "full")
-            .withColumn("_m", F.when(better, F.col("_cand")).otherwise(F.col("_old")))
-            .withColumn("_new", better)
-            .select("qid", "node", *[F.col(f"_m.{c}").alias(c) for c in key], "_new")
+            state.select(*_old_proj)
+            .join(best, ["qid", "node"], "full")
+            .withColumn("_m", _merge)
+            .withColumn("_new", _better)
+            .select(*_state_proj)
         )
         obs = Observation()
-        metric_exprs = [
-            F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt")
-        ]
+        metric_exprs = [_cnt_metric]
         if targets is not None:
             new_state = new_state.join(tmark, ["qid", "node"], "left")
-            metric_exprs.append(
-                F.collect_list(
-                    F.when(F.col("_is_tgt") & F.col("_new"), F.struct("qid", "dist"))
-                ).alias("hits")
-            )
+            metric_exprs.append(_hits_metric)
         observed = new_state.observe(obs, *metric_exprs).select(*cols, "_new")
         if durable:
             # bucketed write = the superstep action (metrics ride it; the
