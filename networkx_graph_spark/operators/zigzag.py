@@ -144,41 +144,48 @@ def zigzag_sssp(
             "node long, dist double, g int, prev long",
         ).withColumn("_new", F.lit(True))
     )
+    # loop-invariant plan fragments (same driver-latency lever as
+    # bounded_sssp/PageRank: Columns are immutable and resolve by name;
+    # state columns node/dist/g and edge columns src/dst/weight/is_flip
+    # are unambiguous in the join)
+    _msg_jcond = F.col("node") == F.col("src")
+    _msg_proj = (
+        F.col("dst").alias("node"),
+        (F.col("dist") + F.col("weight")).alias("dist"),
+        F.when(F.col("is_flip") & (F.col("weight") > 0), F.lit(0))
+        .otherwise(F.col("g") + 1)
+        .alias("g"),
+        F.col("src").alias("prev"),
+    )
+    _cut_filter = F.col("dist") <= cutoff
+    _cand_agg = F.min(F.struct("dist", "g", "prev")).alias("_cand")
+    _old_proj = ("node", F.struct("dist", "g", "prev").alias("_old"))
+    _better = F.col("_cand").isNotNull() & (
+        F.col("_old").isNull() | (F.col("_cand") < F.col("_old"))
+    )
+    _merge = F.when(_better, F.col("_cand")).otherwise(F.col("_old"))
+    _cnt_metric = F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt")
     for _ in range(max_iter):
-        fsel = state.filter(F.col("_new")).select("node", "dist", "g")
-        msgs = (
-            fsel.join(se, fsel["node"] == se["src"])
-            .select(
-                se["dst"].alias("node"),
-                (fsel["dist"] + se["weight"]).alias("dist"),
-                F.when(se["is_flip"] & (se["weight"] > 0), F.lit(0))
-                .otherwise(fsel["g"] + 1)
-                .alias("g"),
-                se["src"].alias("prev"),
-            )
-            .filter(F.col("dist") <= cutoff)
-        )
         # single full-outer merge of old state vs candidate minima (same
         # rewrite as bounded_sssp: the former left-join + anti-join +
         # union walked the state three times per superstep for the
         # identical row set)
-        best = msgs.groupBy("node").agg(
-            F.min(F.struct("dist", "g", "prev")).alias("_cand")
+        msgs = (
+            state.filter(F.col("_new"))
+            .select("node", "dist", "g")
+            .join(se, _msg_jcond)
+            .select(*_msg_proj)
+            .filter(_cut_filter)
         )
-        old = state.select("node", F.struct("dist", "g", "prev").alias("_old"))
-        better = F.col("_cand").isNotNull() & (
-            F.col("_old").isNull() | (F.col("_cand") < F.col("_old"))
-        )
+        best = msgs.groupBy("node").agg(_cand_agg)
         obs = Observation()
         state = mat.materialize(
-            old.join(best, "node", "full")
-            .withColumn("_m", F.when(better, F.col("_cand")).otherwise(F.col("_old")))
-            .withColumn("_new", better)
+            state.select(*_old_proj)
+            .join(best, "node", "full")
+            .withColumn("_m", _merge)
+            .withColumn("_new", _better)
             .select("node", "_m.dist", "_m.g", "_m.prev", "_new")
-            .observe(
-                obs,
-                F.coalesce(F.sum(F.col("_new").cast("long")), F.lit(0)).alias("cnt"),
-            )
+            .observe(obs, _cnt_metric)
         )
         if obs.get["cnt"] == 0:
             break
