@@ -259,6 +259,24 @@ class SparkDiGraph:
         self.__dict__["names_map"] = names
         return lengths, names
 
+    def vertex_length(self, vid: Optional[int]) -> Optional[float]:
+        """Length of ONE vertex (None when absent) without building the
+        full driver-side maps: kernel ENTRY points need a single source
+        length + existence check, and paying the |V|-row toPandas (plus
+        its count guard) for that dominated the prep of fresh-graph SSSP
+        calls. Uses the maps when they are already cached."""
+        if vid is None:
+            return None
+        if "lengths_map" in self.__dict__:
+            return self.__dict__["lengths_map"].get(vid)
+        row = (
+            self._cached_vertices()
+            .filter(F.col("id") == vid)
+            .select("length")
+            .head(1)
+        )
+        return float(row[0]["length"]) if row else None
+
     @cached_property
     def lengths_map(self) -> dict[int, float]:
         """Driver-side id->length map — ONLY for fixture-scale graphs

@@ -628,10 +628,13 @@ def shortest_paths(
     if cutoff < 0:
         return ShortestPathGen(graph, None)  # not ready at all
     sid = graph.node_id(start)
-    if sid is None or sid not in graph.lengths_map:
+    # targeted single-vertex lookup — building the full |V|-row driver map
+    # here cost a count + toPandas per fresh-graph call (the maps still
+    # build lazily for the decoration accessors that genuinely need them)
+    length = graph.vertex_length(sid)
+    if sid is None or length is None:
         return ShortestPathGen(graph, None)
     gen.start_id = sid
-    length = graph.lengths_map[sid]
     init_offset = 0.0
     if offset is not None:
         o = clip(0.0, offset, length)
