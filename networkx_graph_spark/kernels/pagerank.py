@@ -129,6 +129,29 @@ def pagerank(
             spark.conf.set(k, v)
 
 
+def _plan_is_distinct_on(df: DataFrame, cols: tuple) -> bool:
+    """True when ``df``'s analyzed plan is literally a ``Deduplicate`` over
+    exactly ``cols`` (the caller passed ``edges.distinct()`` on a
+    two-column table): the kernel's ingest dedup is then provably
+    redundant — the same soundness as ``assume_distinct``, derived from
+    the plan instead of asserted. This is redundant-dedup elimination
+    that Catalyst cannot perform itself here because the kernel's
+    ``repartition`` (and a persist boundary) sits between the two
+    Deduplicate nodes. Conservative: any doubt (different node, extra
+    columns, py4j surprises) returns False and the dedup runs."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "Deduplicate":
+            return False
+        keys = plan.keys()
+        key_names = {keys.apply(i).name() for i in range(keys.size())}
+        out = plan.output()
+        out_names = {out.apply(i).name() for i in range(out.size())}
+        return key_names == out_names == set(cols)
+    except Exception:
+        return False
+
+
 def _pagerank_impl(
     edges: DataFrame,
     damping: float,
@@ -160,6 +183,8 @@ def _pagerank_impl(
     from pyspark.sql import Window
 
     dedup = edges.select("src", "dst").repartition(num_partitions, "src")
+    if not assume_distinct:
+        assume_distinct = _plan_is_distinct_on(edges, ("src", "dst"))
     if not assume_distinct:
         dedup = dedup.dropDuplicates(["src", "dst"])
     # contribution edges: ONLY long-lived persisted edge table;

@@ -717,6 +717,42 @@ def test_pagerank_assume_distinct_parity(spark, edges_df):
         assert abs(with_dedup[k] - clean[k]) < 1e-12, k
 
 
+def test_pagerank_plan_distinct_sniff(spark):
+    """Redundant-dedup elimination: the kernel skips its ingest dedup ONLY
+    when the input plan literally ends in Deduplicate over exactly
+    (src, dst); any other shape — raw duplicates, a wider distinct, a
+    subset dropDuplicates — keeps the dedup and the dedup semantics."""
+    from pyspark.sql import functions as F
+
+    from networkx_graph_spark.kernels.pagerank import (
+        _plan_is_distinct_on,
+        pagerank,
+    )
+
+    df = spark.range(12).select(
+        (F.col("id") % 3).alias("src"), (F.col("id") % 4 + 1).alias("dst")
+    )
+    assert not _plan_is_distinct_on(df, ("src", "dst"))
+    assert _plan_is_distinct_on(df.distinct(), ("src", "dst"))
+    assert _plan_is_distinct_on(df.distinct().persist(), ("src", "dst"))
+    assert not _plan_is_distinct_on(
+        df.withColumn("w", F.lit(1)).distinct(), ("src", "dst")
+    )
+    assert not _plan_is_distinct_on(df.dropDuplicates(["src"]), ("src", "dst"))
+    # duplicate input WITHOUT a distinct plan still dedups (no weight shift)
+    dup = spark.createDataFrame([(0, 1), (0, 1), (0, 2)], "src long, dst long")
+    r = {x["id"]: x["rank"] for x in pagerank(dup, tol=-1.0, max_iter=1).state.collect()}
+    assert abs(r[1] - r[2]) < 1e-15
+    # sniffed distinct input reproduces the explicit-dedup result
+    a = {x["id"]: x["rank"]
+         for x in pagerank(dup.distinct(), tol=-1.0, max_iter=2).state.collect()}
+    b = {x["id"]: x["rank"]
+         for x in pagerank(dup.distinct(), tol=-1.0, max_iter=2,
+                           assume_distinct=True).state.collect()}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, k
+
+
 def test_lpa_winner_tie_break(spark):
     """The min-struct vote winner must keep the window semantics: max
     count, ties to the smallest label. 0-1-2 triangle plus pendant 3-4:
